@@ -1,0 +1,216 @@
+"""Typed experiment configuration.
+
+TPU-native replacement for the reference's module-level constants file
+(reference: config.py:1-70).  Every switch the reference exposes is preserved
+as a named, typed field; experiments are values, not edits to a module.
+
+Design differences from the reference (deliberate, TPU-first):
+  * dataclass + CLI overrides instead of a global mutable module
+    (reference: run.py:5-7 has abandoned argv parsing).
+  * device selection is a mesh spec (``parallel``) instead of CUDA ids
+    (reference: config.py:4-5).
+  * train/eval are separate jitted programs, so there is no ``is_train``
+    runtime flag in the model config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import string
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+# 94 printable characters: string.printable minus the 6 trailing whitespace
+# controls (reference: config.py:20).
+DEFAULT_CHARS: str = string.printable[:-6]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture switches (reference: config.py:27-53, model.py:20-32)."""
+
+    # --- component selectors (reference: config.py:27-28) ---
+    encoder: str = "transformer"  # lstm | transformer | oscar
+    decoder: str = "transformer"  # lstm | transformer | linear
+
+    # --- dimensions (reference: config.py:31-32, model.py:21-30) ---
+    embed_dim: int = 256
+    hidden_dim: int = 512
+    img_h: int = 32
+    img_w: int = 100
+    input_channels: int = 1
+    num_fiducial: int = 20          # TPS control points (reference: model.py:23)
+    lstm_hidden: int = 256          # LSTM path hidden size (reference: model.py:30)
+
+    # --- encoder/decoder transformer dims (reference: encoders.py:78, decoders.py:111) ---
+    enc_layers: int = 6
+    dec_layers: int = 6
+    num_heads: int = 8
+    ff_dim: int = 2048
+    dropout: float = 0.1
+
+    # The reference's custom TransformerEncoderLayer normalises the residual
+    # *input* before the add (encoders.py:191-195) — a deviation from standard
+    # post-LN.  "reference" replicates it; "standard" uses textbook post-LN.
+    encoder_norm_style: str = "reference"
+
+    # --- semantic-vector pipeline (reference: config.py:35-38) ---
+    semantic_vector: str = "overlap"      # overlap | scene | combined
+    semantic_source: str = "vinvl"        # coco | vg | vinvl | zero | rand
+    semantic_assignment: str = "resize"   # resize | 0.25 | 0.50 | 0.75
+    semantic_embedding: str = "linear"    # linear | bert
+    num_obj_classes: int = 2000           # (reference: semantic_vectors.py:19)
+    max_overlap_objs: int = 15            # (reference: coco_dataset.py:245)
+    max_scene_objs: int = 52              # (reference: coco_dataset.py:246)
+
+    # --- fusion strategy flags (reference: config.py:43-53) ---
+    pre_encoder_mlp: bool = False
+    oscar_encoder: bool = False
+    pre_decoder_mlp: bool = False
+    cls_decoder_init: bool = False
+    multihead_pre_target: bool = False
+    multihead_pre_memory: bool = False
+    multihead_post_memory: bool = False
+    post_decoder_mlp: bool = False
+
+    # --- text geometry (reference: config.py:19-20) ---
+    max_text_length: int = 25
+    chars: str = DEFAULT_CHARS
+
+    # --- numerics ---
+    # bfloat16 compute with float32 params/accumulation is the TPU-native
+    # default; float32 matches the reference bit-for-bit for parity tests.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def num_classes(self) -> int:
+        # [GO], [s], [PAD] + charset (reference: utils.py:108-111)
+        return 3 + len(self.chars)
+
+    @property
+    def num_cols(self) -> int:
+        # encoder column count: backbone width for a 100-wide crop
+        # (reference: encoders.py:149 hardcodes max_len=26)
+        return self.img_w // 4 + 1
+
+    @property
+    def decode_steps(self) -> int:
+        return self.max_text_length + 1  # +1 for [s]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation settings (reference: training_functions.py:36-69, config.py:16-21)."""
+
+    batch_size: int = 192
+    epochs: int = 8
+    lr: float = 1e-4
+    weight_decay: float = 0.01          # torch AdamW default
+    grad_clip_norm: float = 2.0         # (reference: training_functions.py:94)
+    # StepLR(step=10, gamma=0.1) exists only in the legacy loop
+    # (reference: train.py:154); exposed here as an optional schedule.
+    lr_step_size: Optional[int] = None
+    lr_gamma: float = 0.1
+    seed: int = 999                     # (reference: config.py:16)
+    validation_steps: int = 2000        # (reference: run.py:33)
+    iteration_limit: Optional[int] = None
+    model_save_threshold: float = 0.0   # (reference: config.py:21)
+    # The reference's CrossEntropyLoss(ignore_index=0) ignores [GO] but *counts
+    # [PAD]* in the loss (training_functions.py:36).  True replicates that
+    # quirk; False additionally masks [PAD].
+    loss_counts_pad: bool = True
+    label_smoothing: float = 0.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset locations and selection (reference: config.py:60-70)."""
+
+    dataset: str = "synthetic"  # cocotext | textocr | synth | synthetic
+    cocotext_api_path: str = "./annotations/COCO_Text_2014.json"
+    cocotext_image_path: str = "./data/coco/train2014/"
+    cocotext_object_tags_path: str = "./annotations/features/coco_object_tags.json"
+    textocr_anno_path: str = "./data/textocr/"
+    textocr_image_path: str = "./data/textocr/"
+    textocr_object_tags_path: str = "./annotations/features/open_images_vinvl_features.json"
+    deep_text_dataset_path: str = "./data/deep_text_datasets/"
+    class_labels_dir: str = "./assets/features/"
+    num_workers: int = 8
+    prefetch_batches: int = 4
+    # synthetic-set sizes for the self-contained train/bench path
+    synthetic_train_size: int = 4096
+    synthetic_val_size: int = 512
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout (replaces reference nn.DataParallel, model.py:115).
+
+    The mesh has two axes: ``data`` (batch sharding — the DP equivalent of the
+    reference's DataParallel scatter/gather) and ``model`` (optional tensor
+    parallelism over attention heads / FF columns — capability the reference
+    lacks, exposed because ICI makes it nearly free on TPU).
+    """
+
+    data_axis: int = -1   # -1: all remaining devices
+    model_axis: int = 1   # 1 disables tensor parallelism
+    # remat the backbone to trade FLOPs for HBM when scaling batch
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    experiment: str = "tpu_rebuild"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    results_dir: str = "./results"
+    saved_model: Optional[str] = None
+
+
+def _coerce(current: Any, raw: str) -> Any:
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if current is None:
+        if raw.lower() in ("none", "null"):
+            return None
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: dict[str, str] | list[str]) -> Config:
+    """Apply dotted-path overrides, e.g. ``model.encoder=lstm``."""
+    if isinstance(overrides, list):
+        pairs = {}
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(f"override must be key=value, got {item!r}")
+            k, v = item.split("=", 1)
+            pairs[k.strip()] = v.strip()
+        overrides = pairs
+
+    for path, raw in overrides.items():
+        parts = path.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        leaf_name = parts[-1]
+        current = getattr(objs[-1], leaf_name)
+        new_leaf = _coerce(current, raw) if isinstance(raw, str) else raw
+        updated = dataclasses.replace(objs[-1], **{leaf_name: new_leaf})
+        for obj, name in zip(reversed(objs[:-1]), reversed(parts[:-1])):
+            updated = dataclasses.replace(obj, **{name: updated})
+        cfg = updated
+    return cfg

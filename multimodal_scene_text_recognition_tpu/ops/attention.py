@@ -1,0 +1,138 @@
+"""Multi-head attention as fused XLA einsums.
+
+TPU-native replacement for `nn.MultiheadAttention` (reference:
+modules/encoders.py:170, modules/decoders.py:352-353).  Sequence lengths in
+this workload are tiny (<= 52 memory tokens, <= 26 targets), so a flash /
+blockwise kernel buys nothing — a plain softmax(QK^T)V with everything
+resident in VMEM after XLA fusion is already at the HBM roofline.  The win
+over the reference comes from batched einsums + the KV-cached decode path
+(:func:`mha_with_kv_cache`), which the reference lacks (it re-runs the whole
+prefix per step, decoders.py:226-263).
+
+Parameter layout matches torch (packed in_proj [E, 3E] transposed at import)
+so `.pth` checkpoints convert directly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MHAWeights(NamedTuple):
+    """Packed projections, stored input-major: w_qkv [E, 3E], w_out [E, E]."""
+
+    w_qkv: jnp.ndarray
+    b_qkv: jnp.ndarray
+    w_out: jnp.ndarray
+    b_out: jnp.ndarray
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    B, T, E = x.shape
+    return x.reshape(B, T, num_heads, E // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, T, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+
+
+def qkv_projections(
+    q_in: jnp.ndarray, kv_in: jnp.ndarray, w: MHAWeights
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project query and key/value inputs with the packed weights."""
+    E = q_in.shape[-1]
+    q = q_in @ w.w_qkv[:, :E] + w.b_qkv[:E]
+    k = kv_in @ w.w_qkv[:, E : 2 * E] + w.b_qkv[E : 2 * E]
+    v = kv_in @ w.w_qkv[:, 2 * E :] + w.b_qkv[2 * E :]
+    return q, k, v
+
+
+def attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Core softmax attention over already-projected q/k/v [B, T, E].
+
+    ``mask`` is an additive float mask broadcastable to [B, H, Tq, Tk]
+    (0 = attend, -inf = blocked), matching torch attn_mask semantics.
+    """
+    E = q.shape[-1]
+    head_dim = E // num_heads
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(head_dim))
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return _merge_heads(out)
+
+
+def multihead_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    w: MHAWeights,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full MHA matching torch `nn.MultiheadAttention` (batch-first I/O).
+
+    ``key is value`` is assumed (true for every site in the reference).
+    """
+    del value  # packed projection computes k and v from the same tensor
+    q, k, v = qkv_projections(query, key, w)
+    out = attend(q, k, v, num_heads, mask)
+    return out @ w.w_out + w.b_out
+
+
+def causal_mask(T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask [T, T] (reference: decoders.py:138-141)."""
+    return jnp.where(
+        jnp.tril(jnp.ones((T, T), bool)), jnp.zeros((), dtype), jnp.full((), -jnp.inf, dtype)
+    )
+
+
+def mha_with_kv_cache(
+    query_t: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    step: jnp.ndarray,
+    w: MHAWeights,
+    num_heads: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-step self-attention with a KV cache.
+
+    Args:
+      query_t: [B, 1, E] current-step input.
+      k_cache/v_cache: [B, T_max, E] caches (valid through ``step``).
+      step: scalar int — index of the current step.
+
+    Returns (output [B, 1, E], updated k_cache, updated v_cache).
+
+    This is the decode loop the reference lacks: its eval path re-embeds and
+    re-runs all layers over the whole prefix each step (decoders.py:234-263,
+    O(T^2 * layers)); with the cache each step is O(T).
+    """
+    B, _, E = query_t.shape
+    q, k_t, v_t = qkv_projections(query_t, query_t, w)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, step, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, step, 0))
+
+    T_max = k_cache.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T_max), 3)
+    mask = jnp.where(pos <= step, 0.0, -jnp.inf)
+    out = attend(q, k_cache, v_cache, num_heads, mask)
+    return out @ w.w_out + w.b_out, k_cache, v_cache
