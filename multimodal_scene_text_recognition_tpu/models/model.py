@@ -1,0 +1,134 @@
+"""Model assembly: TPS -> ResNet -> semantics -> encoder -> decoder.
+
+Capability parity with reference model.py:34-107, with the torch-isms
+replaced by their JAX equivalents:
+  * ``is_train`` flag -> separate jitted train/eval programs (the flag here
+    only selects the decoder path at trace time).
+  * nn.DataParallel -> mesh sharding (parallel/mesh.py).
+  * config strings -> typed registry (build from ModelConfig).
+
+Dimension handling improves on the reference: decoder input width is derived
+from the actual encoder output width, so every encoder/decoder combination
+works (in the reference, LSTM-encoder (256-d) + Transformer-decoder
+(expects 512-d, decoders.py:117) and TF-encoder + LSTM-decoder
+(expects 256-d, model.py:76) crash).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import ModelConfig
+from .decoders import LinearDecoder, LSTMAttentionDecoder, TransformerDecoder
+from .encoders import BiLSTMEncoder, OscarEncoder, TransformerEncoder
+from .resnet import ResNet31, to_column_sequence
+from .semantic import build_semantic_embedder
+from .transformation import TPSTransform
+
+
+class SceneTextModel(nn.Module):
+    """End-to-end scene-text recogniser (reference: model.py:34-107)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.transformation = TPSTransform(
+            cfg.num_fiducial, cfg.img_h, cfg.img_w, name="transformation"
+        )
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.feature_extractor = ResNet31(
+            output_channels=cfg.hidden_dim, dtype=dtype, name="feature_extractor"
+        )
+        self.semantic = build_semantic_embedder(cfg)
+
+        if cfg.encoder == "lstm":
+            self.encoder = BiLSTMEncoder(
+                cfg.lstm_hidden, cfg.lstm_hidden, name="encoder"
+            )
+            enc_dim = cfg.lstm_hidden
+        elif cfg.encoder == "transformer":
+            self.encoder = TransformerEncoder(
+                d_model=cfg.hidden_dim,
+                embed_dim=cfg.embed_dim,
+                num_heads=cfg.num_heads,
+                ff_dim=cfg.ff_dim,
+                num_layers=cfg.enc_layers,
+                dropout=cfg.dropout,
+                max_len=cfg.num_cols,
+                norm_style=cfg.encoder_norm_style,
+                pre_encoder_mlp=cfg.pre_encoder_mlp,
+                name="encoder",
+            )
+            enc_dim = cfg.hidden_dim
+        elif cfg.encoder == "oscar":
+            self.encoder = OscarEncoder(
+                d_model=cfg.hidden_dim,
+                fuse_semantics=cfg.oscar_encoder,
+                name="encoder",
+            )
+            enc_dim = cfg.hidden_dim
+        else:
+            raise ValueError(f"unknown encoder {cfg.encoder!r}")
+
+        if cfg.decoder == "lstm":
+            self.decoder = LSTMAttentionDecoder(
+                num_classes=cfg.num_classes,
+                input_dim=enc_dim,
+                hidden_dim=cfg.lstm_hidden,
+                max_text_length=cfg.max_text_length,
+                name="decoder",
+            )
+        elif cfg.decoder == "transformer":
+            self.decoder = TransformerDecoder(
+                num_classes=cfg.num_classes,
+                d_model=cfg.embed_dim,
+                memory_dim=enc_dim,
+                num_heads=cfg.num_heads,
+                ff_dim=cfg.ff_dim,
+                num_layers=cfg.dec_layers,
+                dropout=cfg.dropout,
+                max_text_length=cfg.max_text_length,
+                pre_decoder_mlp=cfg.pre_decoder_mlp,
+                cls_decoder_init=cfg.cls_decoder_init,
+                multihead_pre_target=cfg.multihead_pre_target,
+                multihead_pre_memory=cfg.multihead_pre_memory,
+                multihead_post_memory=cfg.multihead_post_memory,
+                post_decoder_mlp=cfg.post_decoder_mlp,
+                name="decoder",
+            )
+        elif cfg.decoder == "linear":
+            self.decoder = LinearDecoder(
+                num_classes=cfg.num_classes, in_dim=enc_dim, name="decoder"
+            )
+        else:
+            raise ValueError(f"unknown decoder {cfg.decoder!r}")
+
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        text: Optional[jnp.ndarray],
+        overlap: jnp.ndarray,
+        scene: jnp.ndarray,
+        ious: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Forward pass (reference: model.py:85-107).
+
+        image: [B, H, W, 1] float; text: [B, T] int (teacher-forcing input,
+        ignored at eval); overlap [B, 15], scene [B, 52] int ids;
+        ious [B, 52] float.  Returns logits [B, T(or steps), num_classes].
+        """
+        rectified = self.transformation(image, train=train)
+        feats = self.feature_extractor(rectified, train=train)
+        cols = to_column_sequence(feats).astype(jnp.float32)
+        semantics = self.semantic(overlap, scene, ious)
+        encoded = self.encoder(cols, semantics=semantics, train=train)
+        return self.decoder(encoded, text, semantics=semantics, train=train)
+
+
+def build_model(cfg: ModelConfig) -> SceneTextModel:
+    return SceneTextModel(cfg)

@@ -1,0 +1,73 @@
+"""TPS spatial-transformer rectification (RARE STN), TPU-native.
+
+Capability parity with reference modules/transformation.py:1-163:
+  * LocalizationNetwork — conv stack predicting F fiducial points, with the
+    identity-grid bias init (reference:41-82).
+  * grid generation — precomputed TPS constants + einsums (ops/tps.py,
+    replacing GridGenerator's repeat+bmm, reference:85-163).
+  * warp — matmul-form bilinear sampling (ops/grid_sample.py, replacing
+    F.grid_sample, reference:34).
+
+Layout is NHWC throughout (TPU-native); channel counts follow the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import tps
+from ..ops.grid_sample import grid_sample
+
+
+class LocalizationNetwork(nn.Module):
+    """Predict fiducial points C' [B, F, 2] from the input crop
+    (reference: transformation.py:41-82).
+
+    Conv(64) -> pool -> Conv(128) -> pool -> Conv(256) -> pool -> Conv(512)
+    -> global avg pool -> fc 512->256 -> fc 256->2F (zero weights, identity
+    bias) — each conv is 3x3 stride 1, BN, ReLU.
+    """
+
+    num_fiducial: int = 20
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for ch in (64, 128, 256, 512):
+            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"conv{ch}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn{ch}",
+            )(x)
+            x = nn.relu(x)
+            if ch != 512:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        x = nn.relu(nn.Dense(256, name="fc1")(x))
+
+        bias = tps.build_identity_bias(self.num_fiducial)
+        x = nn.Dense(
+            2 * self.num_fiducial,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(bias, dtype),
+            name="fc2",
+        )(x)
+        return x.reshape(-1, self.num_fiducial, 2)
+
+
+class TPSTransform(nn.Module):
+    """Rectify input crops: predict fiducials, solve TPS, warp
+    (reference: transformation.py:7-38)."""
+
+    num_fiducial: int = 20
+    out_h: int = 32
+    out_w: int = 100
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        """img: [B, H, W, C] -> rectified [B, out_h, out_w, C]."""
+        c_prime = LocalizationNetwork(self.num_fiducial, name="loc_net")(
+            img, train=train
+        )
+        grid = tps.build_sampling_grid(c_prime, self.out_h, self.out_w)
+        return grid_sample(img, grid)
