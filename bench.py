@@ -1,0 +1,186 @@
+"""Benchmark harness: word crops/sec/chip at B=192 on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): greedy-decode throughput (word crops/sec/
+chip) at batch 192 on the full TPS + ResNet-31 + 6L TF encoder + 6L TF
+decoder pipeline.  ``vs_baseline`` is the ratio against a CPU run of the
+same program (the reference is a CPU/GPU torch pipeline with no published
+numbers — BASELINE.md; the north star is >=10x CPU crops/sec).  The CPU
+denominator is measured once and cached in BASELINE_LOCAL.json.
+
+Also measured and reported on stderr: train-step throughput and p50 decode
+latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multimodal_scene_text_recognition_tpu.core.config import ModelConfig, TrainConfig
+from multimodal_scene_text_recognition_tpu.models.model import build_model
+from multimodal_scene_text_recognition_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+)
+from multimodal_scene_text_recognition_tpu.train.steps import make_train_step
+
+B = 192
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_LOCAL.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def example_batch(cfg: ModelConfig, batch=B):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(
+            rng.random((batch, cfg.img_h, cfg.img_w, 1), dtype=np.float32)),
+        "text": jnp.asarray(
+            rng.integers(0, cfg.num_classes,
+                         (batch, cfg.max_text_length + 2)).astype(np.int32)),
+        "overlap": jnp.asarray(
+            rng.integers(0, 100, (batch, cfg.max_overlap_objs)).astype(np.int32)),
+        "scene": jnp.asarray(
+            rng.integers(0, 100, (batch, cfg.max_scene_objs)).astype(np.int32)),
+        "ious": jnp.full((batch, cfg.max_scene_objs), -1000.0, jnp.float32),
+    }
+
+
+def build(cfg: ModelConfig):
+    model = build_model(cfg)
+    batch = example_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["image"], batch["text"][:, :-1], batch["overlap"],
+        batch["scene"], batch["ious"], train=True)
+    return model, variables, batch
+
+
+def bench_decode(model, variables, batch, iters=20, warmup=3):
+    # params go in as arguments, not closure constants — captured constants
+    # bloat the serialized HLO by the full model size
+    @jax.jit
+    def decode(variables, image, overlap, scene, ious):
+        logits = model.apply(variables, image, None, overlap, scene, ious,
+                             train=False)
+        return jnp.argmax(logits, axis=-1)
+
+    args = (variables, batch["image"], batch["overlap"], batch["scene"],
+            batch["ious"])
+    batch_size = batch["image"].shape[0]
+    np.asarray(decode(*args))  # warm/compile
+
+    # Throughput: enqueue iters batches back-to-back, drain once with a
+    # host transfer.  (block_until_ready alone does not actually wait on
+    # this runtime — async dispatch makes per-call timing meaningless.)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = decode(*args)
+    np.asarray(out)
+    steady = (time.perf_counter() - t0) / iters
+
+    # Latency: per-call, result materialised on host each time.
+    lat = []
+    for _ in range(max(iters // 2, 3)):
+        t0 = time.perf_counter()
+        np.asarray(decode(*args))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    return {
+        "crops_per_sec": batch_size / steady,
+        "p50_latency_ms": float(np.median(lat)) * 1e3,
+        "p90_latency_ms": float(np.percentile(lat, 90)) * 1e3,
+    }
+
+
+def bench_train(model, variables, batch, iters=10, warmup=2):
+    tcfg = TrainConfig()
+    tx = make_optimizer(tcfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, tx, batch, rng)
+    step = make_train_step(model, tx, donate=True)
+    batch_size = batch["image"].shape[0]
+    for _ in range(warmup):
+        state, metrics = step(state, batch, rng)
+    np.asarray(metrics["loss"])  # drain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    np.asarray(metrics["loss"])  # drain
+    dt = (time.perf_counter() - t0) / iters
+    return {"crops_per_sec": batch_size / dt, "step_ms": dt * 1e3}
+
+
+def cpu_baseline(cfg: ModelConfig) -> float:
+    """One-time CPU denominator, cached."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["cpu_crops_per_sec"]
+    log("measuring CPU baseline (one-time)...")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = build_model(cfg)
+        small = example_batch(cfg, batch=24)  # full B=192 takes minutes on CPU
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            small["image"], small["text"][:, :-1], small["overlap"],
+            small["scene"], small["ious"], train=True)
+        res = bench_decode(model, variables, small, iters=3)
+    value = res["crops_per_sec"]
+    with open(CACHE, "w") as f:
+        json.dump({"cpu_crops_per_sec": value}, f)
+    log(f"CPU baseline: {value:.1f} crops/sec")
+    return value
+
+
+def main():
+    cfg = ModelConfig()
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    model, variables, batch = build(cfg)
+    dec = bench_decode(model, variables, batch)
+    log(f"decode: {dec['crops_per_sec']:.1f} crops/s, "
+        f"p50 {dec['p50_latency_ms']:.2f} ms, p90 {dec['p90_latency_ms']:.2f} ms")
+    tr = bench_train(model, variables, batch)
+    log(f"train: {tr['crops_per_sec']:.1f} crops/s, step {tr['step_ms']:.2f} ms")
+
+    try:
+        cpu = cpu_baseline(cfg)
+        ratio = dec["crops_per_sec"] / cpu if cpu else None
+    except Exception as e:  # CPU baseline is best-effort
+        log(f"cpu baseline failed: {e}")
+        ratio = None
+
+    print(json.dumps({
+        "metric": "greedy-decode word crops/sec/chip @ B=192 "
+                  "(TPS+ResNet31+TF6+TF6, KV-cache scan decode)",
+        "value": round(dec["crops_per_sec"], 1),
+        "unit": "crops/sec",
+        "vs_baseline": round(ratio, 2) if ratio else None,
+        "extra": {
+            "p50_latency_ms": round(dec["p50_latency_ms"], 2),
+            "train_crops_per_sec": round(tr["crops_per_sec"], 1),
+            "train_step_ms": round(tr["step_ms"], 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Synthetic rendered-text dataset.
+
+Self-contained stand-in for the external corpora (COCO-Text / TextOCR /
+MJ-ST live behind paths the reference hardcodes, reference: config.py:60-70,
+and their blobs are not shipped).  Renders random strings onto 32x100
+grayscale crops with PIL, with random distractor geometry, and fabricates
+overlap/scene id vectors — shape-compatible with the real loaders
+(coco_dataset.py:239-262): ``(anno_id, img[B,32,100,1], label, overlap[B,15],
+scene[B,52], ious[B,52])``.
+
+Used by the integration tests (SURVEY.md §4: "tiny synthetic dataset ->
+one train step decreases loss") and the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageDraw, ImageFont
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover
+    HAS_PIL = False
+
+_CHARS_EASY = string.ascii_letters + string.digits
+
+
+@dataclass
+class SyntheticSample:
+    anno_id: int
+    image: np.ndarray  # [32, 100, 1] float32 in [0, 1]
+    label: str
+    overlap: np.ndarray  # [15] int32
+    scene: np.ndarray  # [52] int32
+    ious: np.ndarray  # [52] float32
+
+
+def _render(text: str, rng: np.random.Generator, h: int = 32, w: int = 100) -> np.ndarray:
+    """Render a word crop: light background, dark text, mild jitter."""
+    if not HAS_PIL:
+        # fallback: encode chars as vertical bars (still learnable)
+        img = np.zeros((h, w), np.float32)
+        for i, c in enumerate(text[:20]):
+            x = 2 + i * 5
+            img[4 : h - 4, x : x + 3] = (ord(c) % 64) / 64.0
+        return img[..., None]
+
+    big_w, big_h = 200, 64
+    bg = int(rng.integers(160, 255))
+    fg = int(rng.integers(0, 90))
+    img = Image.new("L", (big_w, big_h), color=bg)
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.load_default(size=int(rng.integers(28, 40)))
+    except TypeError:  # older PIL: fixed-size bitmap font
+        font = ImageFont.load_default()
+    x = int(rng.integers(0, 12))
+    y = int(rng.integers(0, 10))
+    draw.text((x, y), text, fill=fg, font=font)
+    img = img.resize((w, h), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    noise = rng.normal(0, 0.02, arr.shape).astype(np.float32)
+    return np.clip(arr + noise, 0, 1)[..., None]
+
+
+def make_dataset(
+    size: int,
+    seed: int = 0,
+    max_len: int = 10,
+    chars: str = _CHARS_EASY,
+    vocab_words: Optional[Sequence[str]] = None,
+    num_obj_classes: int = 2000,
+) -> List[SyntheticSample]:
+    rng = np.random.default_rng(seed)
+    samples = []
+    for i in range(size):
+        if vocab_words is not None:
+            label = vocab_words[int(rng.integers(0, len(vocab_words)))]
+        else:
+            n = int(rng.integers(1, max_len + 1))
+            label = "".join(rng.choice(list(chars), n))
+        overlap = np.zeros(15, np.int32)
+        n_ov = int(rng.integers(0, 5))
+        overlap[:n_ov] = rng.integers(1, num_obj_classes, n_ov)
+        scene = np.zeros(52, np.int32)
+        n_sc = int(rng.integers(1, 20))
+        scene[:n_sc] = rng.integers(1, num_obj_classes, n_sc)
+        ious = np.full(52, -1000.0, np.float32)
+        samples.append(
+            SyntheticSample(
+                anno_id=i,
+                image=_render(label, rng),
+                label=label,
+                overlap=overlap,
+                scene=scene,
+                ious=ious,
+            )
+        )
+    return samples

@@ -1,0 +1,84 @@
+"""Device mesh + sharding rules — the reference's multi-device story, TPU-native.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(reference: model.py:115): replicate the module, scatter the batch, gather
+outputs, reduce grads to a primary GPU.  The TPU equivalent (SURVEY.md §5.8)
+is a ``jax.sharding.Mesh`` with the batch sharded over a ``data`` axis and
+XLA emitting the gradient all-reduce over ICI under ``jit``.
+
+Beyond DP parity, a second ``model`` axis gives Megatron-style tensor
+parallelism over the transformer FF kernels and attention projections
+(capability the reference lacks — nearly free over ICI):
+  * 2-D kernels whose output dim is divisible and large  -> P(None, 'model')
+  * 2-D kernels whose input dim is divisible and large   -> P('model', None)
+  * everything else replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_axis: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    grid = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Minimum size of a kernel dimension before sharding it over the model axis.
+# The big FF kernels (512 x 2048) qualify; tiny heads/norms stay replicated.
+_TP_MIN_DIM = 1024
+
+
+def param_spec(value: Any, model_size: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter leaf."""
+    shape = getattr(value, "shape", ())
+    if model_size <= 1 or len(shape) != 2:
+        return P()
+    d_in, d_out = shape
+    if d_out >= _TP_MIN_DIM and d_out % model_size == 0:
+        return P(None, MODEL_AXIS)  # column parallel (e.g. ff1 kernel)
+    if d_in >= _TP_MIN_DIM and d_in % model_size == 0:
+        return P(MODEL_AXIS, None)  # row parallel (e.g. ff2 kernel)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Sharding pytree for a param tree under the given mesh."""
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree.map(
+        lambda v: NamedSharding(mesh, param_spec(v, model_size)), params
+    )
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the batch axis sharded over data."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

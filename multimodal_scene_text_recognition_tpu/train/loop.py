@@ -1,0 +1,169 @@
+"""Training harness: epoch loop, in-loop validation, best-model gating, logs.
+
+Capability parity with reference training_functions.py:30-148:
+  * pre-training validation pass (reference:59);
+  * epoch loop over shuffled batches with loss/train-acc bookkeeping
+    (reference:71-117);
+  * validation every ``validation_steps`` iterations; on a new best, append
+    to the CSV log and checkpoint (reference:120-137), gated by
+    ``model_save_threshold`` (reference:69, config.py:21);
+  * ``iteration_limit`` — honoured by actually stopping (the reference
+    checks but never breaks, reference:138-140).
+
+Upgrades over the reference: running-average metrics stay on device until
+logged; checkpoints carry the full train state and support resume
+(SURVEY.md §5.4); per-step wall-clock telemetry (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from ..core.charset import AttnCodec
+from ..core.config import Config
+from ..core.metrics import Averager
+from ..data.pipeline import Batcher, Prefetcher, batches, device_batch
+from ..eval.evaluate import validate
+from .checkpoint import save_checkpoint
+from .state import TrainState, create_train_state, make_optimizer
+from .steps import make_eval_step, make_train_step
+
+
+class CSVLog:
+    """Append-style training log (reference: training_functions.py:49,128-129
+    writes a pandas frame per new-best; columns iter/cost_avg/val_acc/train_acc)."""
+
+    COLUMNS = ["iter", "cost_avg", "val_acc", "train_acc"]
+
+    def __init__(self, path: str):
+        self.path = path
+        self.rows: List[Dict] = []
+
+    def append(self, **row):
+        self.rows.append({c: row.get(c, "n/a") for c in self.COLUMNS})
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self.COLUMNS)
+            w.writeheader()
+            w.writerows(self.rows)
+
+
+def train(
+    cfg: Config,
+    model,
+    train_samples,
+    val_samples,
+    state: Optional[TrainState] = None,
+    device_put=None,
+    log_every: int = 50,
+    verbose: bool = True,
+) -> TrainState:
+    """Train ``model`` (reference train(), training_functions.py:30-148)."""
+    codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+    batcher = Batcher(codec, cfg.train.batch_size)
+    steps_per_epoch = max(len(train_samples) // cfg.train.batch_size, 1)
+
+    tx = make_optimizer(cfg.train, steps_per_epoch)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    if state is None:
+        sample_batch = next(
+            iter(batches(train_samples[: cfg.train.batch_size], batcher,
+                         shuffle=False, drop_last=False))
+        )
+        dev = device_batch(sample_batch, device_put)
+        state = create_train_state(model, tx, dev, rng)
+
+    train_step = make_train_step(
+        model, tx, counts_pad=cfg.train.loss_counts_pad,
+        label_smoothing=cfg.train.label_smoothing,
+    )
+    eval_step = make_eval_step(model)
+
+    def run_validation(st: TrainState) -> float:
+        val_iter = batches(val_samples, batcher, shuffle=False,
+                           drop_last=False, seed=cfg.train.seed)
+        res = validate(eval_step, st.variables(), val_iter, codec,
+                       print_samples=verbose, device_put=device_put)
+        return res.accuracy
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    if verbose:
+        print(f"--- Training for {cfg.train.epochs} epochs. "
+              f"Number of parameters: {n_params}")
+
+    log = CSVLog(os.path.join(
+        cfg.results_dir, f"{cfg.experiment}_training_log.csv"))
+
+    # pre-training validation (reference:59)
+    val_acc = run_validation(state)
+    log.append(iter=0, cost_avg="n/a", val_acc=val_acc, train_acc="n/a")
+    if verbose:
+        print(f"  - initial val acc: {val_acc}%")
+
+    best_accuracy = cfg.train.model_save_threshold
+    loss_avg = Averager()
+    acc_avg = Averager()
+    iteration = int(state.step)
+    stop = False
+
+    for epoch in range(cfg.train.epochs):
+        if stop:
+            break
+        if verbose:
+            print(f"  - Epoch: {epoch + 1}")
+        epoch_iter = Prefetcher(
+            batches(train_samples, batcher, shuffle=True,
+                    seed=cfg.train.seed + epoch),
+            depth=4,
+        )
+        t_last = time.perf_counter()
+        for batch in epoch_iter:
+            dev = device_batch(batch, device_put)
+            state, metrics = train_step(state, dev, rng)
+            iteration += 1
+
+            loss_avg.add(float(metrics["loss"]))
+            acc_avg.add(float(metrics["token_acc"]))
+
+            if verbose and iteration % log_every == 0:
+                dt = (time.perf_counter() - t_last) / log_every
+                t_last = time.perf_counter()
+                print(
+                    f"    iter {iteration}: loss {loss_avg.val():.4f} "
+                    f"token_acc {acc_avg.val():.3f} "
+                    f"({cfg.train.batch_size / dt:.0f} crops/s)"
+                )
+
+            if iteration % cfg.train.validation_steps == 0:
+                val_acc = run_validation(state)
+                if verbose:
+                    print(f"  - iter {iteration}: {val_acc}% | "
+                          f"Best: {best_accuracy}%")
+                if val_acc > best_accuracy:
+                    best_accuracy = val_acc
+                    log.append(iter=iteration, cost_avg=loss_avg.val(),
+                               val_acc=val_acc, train_acc=acc_avg.val())
+                    ckpt_dir = os.path.join(cfg.results_dir, "models",
+                                            cfg.experiment)
+                    save_checkpoint(ckpt_dir, state)
+                    if verbose:
+                        print("  - New best model saved")
+                    loss_avg.reset()
+                    acc_avg.reset()
+
+            if cfg.train.iteration_limit and iteration >= cfg.train.iteration_limit:
+                if verbose:
+                    print(f"--- Iteration limit reached: {iteration}")
+                stop = True
+                break
+
+    if verbose:
+        print("--- Finished Training")
+    return state

@@ -1,0 +1,168 @@
+"""Jitted train / eval steps with mesh shardings.
+
+The reference's per-batch work (training_functions.py:78-97: forward,
+CE loss with ignore_index=0, backward, clip, step) compiles here into ONE
+XLA program; the greedy validation decode (training_functions.py:176) is a
+second program (the model's scan decode).  Data parallelism comes from
+sharding the batch over the mesh 'data' axis — XLA inserts the grad
+all-reduce (replacing nn.DataParallel's scatter/gather, model.py:115).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.charset import GO_ID, PAD_ID
+from ..parallel import mesh as mesh_lib
+from .state import TrainState
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    counts_pad: bool = True,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """Reference loss semantics: CrossEntropyLoss(ignore_index=0) — [GO]
+    positions are masked, [PAD] positions are *counted*
+    (training_functions.py:36; SURVEY.md §7.1 documents the quirk).
+    ``counts_pad=False`` additionally masks [PAD].
+    """
+    mask = targets != GO_ID
+    if not counts_pad:
+        mask &= targets != PAD_ID
+    if label_smoothing > 0:
+        n = logits.shape[-1]
+        onehot = jax.nn.one_hot(targets, n)
+        soft = onehot * (1 - label_smoothing) + label_smoothing / n
+        losses = optax.softmax_cross_entropy(logits, soft)
+    else:
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    mask = mask.astype(losses.dtype)
+    return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    counts_pad: bool = True,
+    label_smoothing: float = 0.0,
+    donate: bool = True,
+    jit_compile: bool = True,
+) -> Callable:
+    """Build the train step: (state, batch, rng) -> (state, metrics).
+
+    ``jit_compile=False`` returns the raw python function (for re-jitting
+    with explicit shardings in :func:`shard_train_step`)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        text_in = batch["text"][:, :-1]
+        targets = batch["text"][:, 1:]
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                text_in,
+                batch["overlap"],
+                batch["scene"],
+                batch["ious"],
+                train=True,
+                rngs={"dropout": rng, "semantics": rng},
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy(logits, targets, counts_pad, label_smoothing)
+            return loss, (logits, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # greedy teacher-forced train accuracy bookkeeping
+        # (training_functions.py:100-114 does this with a host loop; here it
+        # stays on device)
+        pred_ids = jnp.argmax(logits, axis=-1)
+        valid = targets != GO_ID
+        token_acc = jnp.sum((pred_ids == targets) & valid) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+
+        metrics = {
+            "loss": loss,
+            "token_acc": token_acc,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    if not jit_compile:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted greedy decode: (variables, batch) -> predicted ids [B, T]."""
+
+    def eval_step(variables, batch):
+        logits = model.apply(
+            variables,
+            batch["image"],
+            None,
+            batch["overlap"],
+            batch["scene"],
+            batch["ious"],
+            train=False,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    return jax.jit(eval_step)
+
+
+def shard_train_step(
+    raw_train_step: Callable, mesh: Mesh, state: TrainState
+) -> Tuple[Callable, TrainState]:
+    """Jit a raw train step with explicit mesh shardings and move the state
+    onto the mesh (params TP-sharded per parallel/mesh.py rules, batch DP).
+
+    Pass the output of ``make_train_step(..., jit_compile=False)``."""
+    state_sh = TrainState(
+        step=NamedSharding(mesh, P()),
+        params=mesh_lib.param_shardings(mesh, state.params),
+        batch_stats=jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), state.batch_stats
+        ),
+        opt_state=jax.tree.map(
+            lambda x: NamedSharding(
+                mesh,
+                mesh_lib.param_spec(x, mesh.shape[mesh_lib.MODEL_AXIS]),
+            ),
+            state.opt_state,
+        ),
+    )
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    rng_sh = NamedSharding(mesh, P())
+
+    jitted = jax.jit(
+        raw_train_step,
+        in_shardings=(state_sh, batch_sh, rng_sh),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    placed = jax.device_put(state, state_sh)
+    return jitted, placed

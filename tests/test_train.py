@@ -1,0 +1,213 @@
+"""Training-harness + parallelism tests (SURVEY.md §4 Integration/Distributed)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec, GO_ID, PAD_ID
+from multimodal_scene_text_recognition_tpu.core.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from multimodal_scene_text_recognition_tpu.data.pipeline import (
+    Batcher,
+    Prefetcher,
+    batches,
+    device_batch,
+)
+from multimodal_scene_text_recognition_tpu.data.synthetic import make_dataset
+from multimodal_scene_text_recognition_tpu.models.model import build_model
+from multimodal_scene_text_recognition_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+)
+from multimodal_scene_text_recognition_tpu.train.steps import (
+    cross_entropy,
+    make_eval_step,
+    make_train_step,
+    shard_train_step,
+)
+
+TINY = ModelConfig(
+    enc_layers=1, dec_layers=1, ff_dim=64, hidden_dim=64, embed_dim=32,
+    lstm_hidden=32, num_heads=4, compute_dtype="float32", dropout=0.0,
+)
+
+
+def make_batch(B=8, cfg=TINY, seed=0):
+    codec = AttnCodec(cfg.chars, cfg.max_text_length)
+    samples = make_dataset(B, seed=seed, vocab_words=["ab", "cat", "dog1"])
+    return Batcher(codec, B).collate(samples)
+
+
+# ---------------------------------------------------------------------------
+# loss semantics
+# ---------------------------------------------------------------------------
+
+
+def test_cross_entropy_ignores_go_counts_pad():
+    """reference: CrossEntropyLoss(ignore_index=0) — GO masked, PAD counted
+    (training_functions.py:36)."""
+    logits = jnp.zeros((1, 3, 5))
+    targets = jnp.asarray([[GO_ID, 3, PAD_ID]])
+    # uniform logits -> per-token loss log(5)
+    loss = cross_entropy(logits, targets, counts_pad=True)
+    np.testing.assert_allclose(float(loss), np.log(5), rtol=1e-6)
+
+    # all-GO target contributes nothing
+    loss_go = cross_entropy(logits, jnp.asarray([[GO_ID, GO_ID, GO_ID]]))
+    assert float(loss_go) == 0.0
+
+    # counts_pad=False masks PAD too; make PAD logits wrong to see the effect
+    biased = logits.at[:, 2, PAD_ID].set(-10.0)
+    l_with = cross_entropy(biased, targets, counts_pad=True)
+    l_without = cross_entropy(biased, targets, counts_pad=False)
+    assert float(l_with) > float(l_without)
+
+
+# ---------------------------------------------------------------------------
+# data pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_batcher_shapes():
+    b = make_batch(B=4)
+    assert b["image"].shape == (4, 32, 100, 1)
+    assert b["text"].shape == (4, 27)
+    assert b["overlap"].shape == (4, 15)
+    assert b["scene"].shape == (4, 52)
+    assert b["ious"].shape == (4, 52)
+    assert len(b["labels"]) == 4
+
+
+def test_batches_drop_last_and_pad():
+    codec = AttnCodec(TINY.chars)
+    samples = make_dataset(10, seed=0)
+    batcher = Batcher(codec, 4)
+    train_batches = list(batches(samples, batcher, shuffle=True, drop_last=True))
+    assert len(train_batches) == 2  # 10 // 4
+    eval_batches = list(batches(samples, batcher, shuffle=False, drop_last=False))
+    assert len(eval_batches) == 3
+    last = eval_batches[-1]
+    assert last["image"].shape[0] == 4  # padded
+    assert last["valid"].sum() == 2
+
+
+def test_prefetcher_yields_all_and_propagates_errors():
+    items = list(range(20))
+    assert list(Prefetcher(iter(items), depth=2)) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("x")
+
+    with pytest.raises(RuntimeError):
+        list(Prefetcher(boom()))
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+
+def test_train_step_runs_and_improves():
+    model = build_model(TINY)
+    tcfg = TrainConfig(batch_size=8, lr=1e-3)
+    tx = make_optimizer(tcfg)
+    rng = jax.random.PRNGKey(0)
+    batch = device_batch(make_batch())
+    state = create_train_state(model, tx, batch, rng)
+    step = make_train_step(model, tx, donate=False)
+
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+    assert np.isfinite(losses).all()
+
+
+def test_eval_step_shapes():
+    model = build_model(TINY)
+    tx = make_optimizer(TrainConfig(batch_size=4))
+    rng = jax.random.PRNGKey(0)
+    batch = device_batch(make_batch(B=4))
+    state = create_train_state(model, tx, batch, rng)
+    ids = make_eval_step(model)(state.variables(), batch)
+    assert ids.shape == (4, 25)
+
+
+# ---------------------------------------------------------------------------
+# distributed: DP equivalence + TP execution on the virtual 8-device mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    """Grad-allreduce DP over the mesh must match the single-device step
+    (SURVEY.md §4 Distributed)."""
+    from multimodal_scene_text_recognition_tpu.parallel.mesh import make_mesh
+
+    model = build_model(TINY)
+    tcfg = TrainConfig(batch_size=8)
+    tx = make_optimizer(tcfg)
+    rng = jax.random.PRNGKey(0)
+    batch = device_batch(make_batch())
+    state0 = create_train_state(model, tx, batch, rng)
+
+    single = make_train_step(model, tx, donate=False)
+    s1, m1 = single(state0, batch, rng)
+
+    raw = make_train_step(model, tx, donate=False, jit_compile=False)
+    mesh = make_mesh(8, model_axis=2)
+    sharded, placed = shard_train_step(raw, mesh, state0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    s2, m2 = sharded(placed, sh_batch, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(jax.device_get(s2.params))
+    for a, b in zip(l1, l2):
+        # atol: AdamW normalises near-zero grads (m/sqrt(v) ~ sign), so
+        # reduction-order noise can flip an update's sign — bounded by ~lr.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end loop on synthetic data
+# ---------------------------------------------------------------------------
+
+
+def test_train_loop_end_to_end(tmp_path):
+    from multimodal_scene_text_recognition_tpu.train.loop import train
+
+    cfg = Config(
+        experiment="t",
+        model=TINY,
+        train=TrainConfig(batch_size=8, epochs=1, validation_steps=4,
+                          iteration_limit=8, lr=3e-4, seed=0),
+        results_dir=str(tmp_path),
+    )
+    words = ["ab", "cd"]
+    train_s = make_dataset(64, seed=0, vocab_words=words)
+    val_s = make_dataset(16, seed=1, vocab_words=words)
+    model = build_model(cfg.model)
+    state = train(cfg, model, train_s, val_s, verbose=False)
+    assert int(state.step) == 8
+    assert os.path.exists(tmp_path / "t_training_log.csv")
