@@ -310,16 +310,14 @@ class TransformerDecoder(nn.Module):
 
     # -- inference: fused scan greedy decode with KV caches ---------------
 
-    def greedy_decode(self, enc_out, semantics=None):
-        """[B, T_mem, H] -> logits [B, max_text_length, C].
+    def _make_stepper(self, memory, sem):
+        """Shared single-position decode machinery over ``memory`` [B', Tm, E].
 
-        One jitted ``lax.scan``: per-layer self-attention KV caches, cross-
-        attention K/V precomputed once per layer, argmax feedback.  Replaces
-        the reference's per-step full-prefix re-run (decoders.py:226-263).
+        Returns (step_all, make_caches): ``step_all(x[B',1,E], t, caches)``
+        runs every layer + final norm + logit head for one position with
+        KV caches; used by both greedy and beam decode.
         """
-        no_drop = lambda x, site: x
-        memory = self._memory(enc_out, semantics, no_drop)
-        B = memory.shape[0]
+        Bp = memory.shape[0]
         E = self.d_model
         T = self.max_text_length
         layer_ws: List[DecLayerWeights] = [l.weights() for l in self.decoder_layers]
@@ -330,17 +328,13 @@ class TransformerDecoder(nn.Module):
             _, k, v = qkv_projections(memory, memory, w.cross_attn)
             cross_kv.append((k, v))
 
-        emb_table = self.emb.embedding
-        pe = jnp.asarray(sinusoidal_table(T + 1, E))
         final_norm_w = self.final_norm.weights()
         emb_to_classes_w = self.emb_to_classes.weights()
-        sem = semantics
-        cls0 = self._sem_cls(memory, sem) if self.cls_decoder_init else None
 
         def make_caches():
             caches = {
-                "k": jnp.zeros((self.num_layers, B, T, E)),
-                "v": jnp.zeros((self.num_layers, B, T, E)),
+                "k": jnp.zeros((self.num_layers, Bp, T, E)),
+                "v": jnp.zeros((self.num_layers, Bp, T, E)),
             }
             for site, enabled in (
                 ("pre_target", self.multihead_pre_target),
@@ -348,12 +342,12 @@ class TransformerDecoder(nn.Module):
                 ("post_memory", self.multihead_post_memory),
             ):
                 if enabled:
-                    caches[f"{site}_k"] = jnp.zeros((self.num_layers, B, T, E))
-                    caches[f"{site}_v"] = jnp.zeros((self.num_layers, B, T, E))
+                    caches[f"{site}_k"] = jnp.zeros((self.num_layers, Bp, T, E))
+                    caches[f"{site}_v"] = jnp.zeros((self.num_layers, Bp, T, E))
             return caches
 
         def cached_attend(x, kv_src, mha_w, cache_key, i, t, caches):
-            """Causal attention of x [B,1,E] over cached projections of
+            """Causal attention of x [B',1,E] over cached projections of
             kv_src, writing position t into the named cache."""
             q, k_t, v_t = qkv_projections(x, kv_src, mha_w)
             k_cache = jax.lax.dynamic_update_slice(
@@ -375,11 +369,11 @@ class TransformerDecoder(nn.Module):
             return a @ mha_w.w_out + mha_w.b_out, caches
 
         def step_layer(i, x, t, caches):
-            """One decoder layer for the single position t. x: [B, 1, E]."""
+            """One decoder layer for the single position t. x: [B', 1, E]."""
             w = layer_ws[i]
 
             def fusion_site(x, fw, site, caches):
-                rel = _relevance(x, sem, fw.mlp)  # [B, 1, E]
+                rel = _relevance(x, sem, fw.mlp)  # [B', 1, E]
                 a, caches = cached_attend(
                     x, rel, fw.mha, f"{site}_", i, t, caches
                 )
@@ -407,6 +401,34 @@ class TransformerDecoder(nn.Module):
             x = layer_norm_apply(x + f, w.norm3)
             return x, caches
 
+        def step_all(x, t, caches):
+            for i in range(self.num_layers):
+                x, caches = step_layer(i, x, t, caches)
+            x = layer_norm_apply(x, final_norm_w)
+            logits_t = linear_apply(x, emb_to_classes_w)[:, 0]  # [B', C]
+            return logits_t, caches
+
+        return step_all, make_caches
+
+    def greedy_decode(self, enc_out, semantics=None):
+        """[B, T_mem, H] -> logits [B, max_text_length, C].
+
+        One jitted ``lax.scan``: per-layer self-attention KV caches, cross-
+        attention K/V precomputed once per layer, argmax feedback.  Replaces
+        the reference's per-step full-prefix re-run (decoders.py:226-263).
+        """
+        no_drop = lambda x, site: x
+        memory = self._memory(enc_out, semantics, no_drop)
+        B = memory.shape[0]
+        E = self.d_model
+        T = self.max_text_length
+        sem = semantics
+
+        emb_table = self.emb.embedding
+        pe = jnp.asarray(sinusoidal_table(T + 1, E))
+        cls0 = self._sem_cls(memory, sem) if self.cls_decoder_init else None
+        step_all, make_caches = self._make_stepper(memory, sem)
+
         def body(carry, t):
             prev_id, caches = carry
             x = jnp.take(emb_table, prev_id, axis=0)[:, None, :]  # [B, 1, E]
@@ -414,10 +436,7 @@ class TransformerDecoder(nn.Module):
                 # position 0 uses the semantic CLS embedding (reference:241-243)
                 x = jnp.where(t == 0, cls0[:, None, :], x)
             x = x + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None, 0:1]
-            for i in range(self.num_layers):
-                x, caches = step_layer(i, x, t, caches)
-            x = layer_norm_apply(x, final_norm_w)
-            logits_t = linear_apply(x, emb_to_classes_w)[:, 0]  # [B, C]
+            logits_t, caches = step_all(x, t, caches)
             next_id = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             return (next_id, caches), logits_t
 
@@ -429,6 +448,110 @@ class TransformerDecoder(nn.Module):
         if self.post_decoder_mlp:
             logits = self._post_decoder(logits, sem)
         return logits
+
+    def beam_decode(self, enc_out, semantics=None, beam_size: int = 5,
+                    length_penalty: float = 0.0):
+        """Batched beam search -> (tokens [B, T], log-prob scores [B]).
+
+        Capability beyond the reference (greedy only); BASELINE.json lists
+        batched beam (k=5) as a benchmark config.  Single ``lax.scan``:
+        every beam hypothesis shares the KV-cache machinery via a flattened
+        [B*K] batch; caches are gathered by beam origin each step.  Finished
+        beams ([s] emitted) are frozen by forcing a zero-cost [s]
+        continuation.  ``post_decoder_mlp`` logit fusion is a sequence-level
+        transform and is not applied on the beam path.
+        """
+        from ..core.charset import EOS_ID
+
+        no_drop = lambda x, site: x
+        memory = self._memory(enc_out, semantics, no_drop)
+        B = memory.shape[0]
+        K = beam_size
+        E = self.d_model
+        T = self.max_text_length
+        C = self.num_classes
+
+        def expand(x):
+            return (
+                None if x is None
+                else jnp.repeat(x, K, axis=0)  # [B*K, ...]
+            )
+
+        mem_x = expand(memory)
+        sem_x = expand(semantics)
+        emb_table = self.emb.embedding
+        pe = jnp.asarray(sinusoidal_table(T + 1, E))
+        cls0 = (
+            expand(self._sem_cls(memory, semantics))
+            if self.cls_decoder_init else None
+        )
+        step_all, make_caches = self._make_stepper(mem_x, sem_x)
+
+        neg_inf = jnp.float32(-1e9)
+
+        def gather_beams(x, beam_idx):
+            """Reindex a [.., B*K, ..] cache/state leaf along the beam dim."""
+            if x.ndim >= 2 and x.shape[1] == B * K:  # cache leaves [L, B*K, ...]
+                shaped = x.reshape(x.shape[0], B, K, *x.shape[2:])
+                idx = beam_idx.reshape(1, B, K, *([1] * (x.ndim - 2)))
+                out = jnp.take_along_axis(shaped, idx, axis=2)
+                return out.reshape(x.shape)
+            raise ValueError(f"unexpected leaf shape {x.shape}")
+
+        def body(carry, t):
+            prev_tok, scores, finished, seqs, caches = carry
+            # prev_tok [B, K] -> x [B*K, 1, E]
+            x = jnp.take(emb_table, prev_tok.reshape(-1), axis=0)[:, None, :]
+            if cls0 is not None:
+                x = jnp.where(t == 0, cls0[:, None, :], x)
+            x = x + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None, 0:1]
+            logits_t, caches = step_all(x, t, caches)          # [B*K, C]
+            logp = jax.nn.log_softmax(logits_t).reshape(B, K, C)
+
+            # frozen beams: only [s] continues, at zero cost
+            frozen = jnp.full((C,), neg_inf).at[EOS_ID].set(0.0)
+            logp = jnp.where(finished[:, :, None], frozen[None, None, :], logp)
+
+            combined = scores[:, :, None] + logp               # [B, K, C]
+            flat = combined.reshape(B, K * C)
+            new_scores, flat_idx = jax.lax.top_k(flat, K)      # [B, K]
+            beam_idx = flat_idx // C
+            token = (flat_idx % C).astype(jnp.int32)
+
+            caches = {k: gather_beams(v, beam_idx) for k, v in caches.items()}
+            gather2 = lambda a: jnp.take_along_axis(a, beam_idx, axis=1)
+            finished = gather2(finished) | (token == EOS_ID)
+            seqs = jnp.take_along_axis(
+                seqs, beam_idx[:, :, None], axis=1
+            )
+            seqs = seqs.at[:, :, t].set(token)
+            return (token, new_scores, finished, seqs, caches), None
+
+        init = (
+            jnp.full((B, K), GO_ID, jnp.int32),
+            # only beam 0 live at t=0 so identical-prefix beams don't tie
+            jnp.tile(jnp.asarray([0.0] + [float(-1e9)] * (K - 1)), (B, 1)),
+            jnp.zeros((B, K), bool),
+            jnp.zeros((B, K, T), jnp.int32),
+            make_caches(),
+        )
+        (tok, scores, finished, seqs, _), _ = jax.lax.scan(
+            body, init, jnp.arange(T, dtype=jnp.int32)
+        )
+
+        if length_penalty > 0.0:
+            # GNMT-style normalisation by effective length
+            lengths = jnp.sum(
+                jnp.cumprod(seqs != EOS_ID, axis=-1), axis=-1
+            ) + 1.0
+            norm = ((5.0 + lengths) / 6.0) ** length_penalty
+            ranked = scores / norm
+        else:
+            ranked = scores
+        best = jnp.argmax(ranked, axis=1)
+        best_seqs = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+        best_scores = jnp.take_along_axis(ranked, best[:, None], axis=1)[:, 0]
+        return best_seqs, best_scores
 
 
 class LSTMAttentionDecoder(nn.Module):

@@ -130,5 +130,33 @@ class SceneTextModel(nn.Module):
         return self.decoder(encoded, text, semantics=semantics, train=train)
 
 
+    def beam_decode(
+        self,
+        image: jnp.ndarray,
+        overlap: jnp.ndarray,
+        scene: jnp.ndarray,
+        ious: jnp.ndarray,
+        beam_size: int = 5,
+        length_penalty: float = 0.0,
+    ):
+        """Beam-search recognition -> (tokens [B, T], scores [B]).
+
+        Transformer-decoder configs only (capability beyond the reference's
+        greedy-only eval; see TransformerDecoder.beam_decode).  Invoke via
+        ``model.apply(vars, ..., method=SceneTextModel.beam_decode)``.
+        """
+        if self.cfg.decoder != "transformer":
+            raise NotImplementedError("beam decode requires the TF decoder")
+        rectified = self.transformation(image, train=False)
+        feats = self.feature_extractor(rectified, train=False)
+        cols = to_column_sequence(feats).astype(jnp.float32)
+        semantics = self.semantic(overlap, scene, ious)
+        encoded = self.encoder(cols, semantics=semantics, train=False)
+        return self.decoder.beam_decode(
+            encoded, semantics, beam_size=beam_size,
+            length_penalty=length_penalty,
+        )
+
+
 def build_model(cfg: ModelConfig) -> SceneTextModel:
     return SceneTextModel(cfg)

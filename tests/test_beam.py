@@ -1,0 +1,104 @@
+"""Beam-search decode tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_scene_text_recognition_tpu.core.charset import EOS_ID
+from multimodal_scene_text_recognition_tpu.core.config import ModelConfig
+from multimodal_scene_text_recognition_tpu.models.decoders import TransformerDecoder
+from multimodal_scene_text_recognition_tpu.models.model import (
+    SceneTextModel,
+    build_model,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def make_decoder(B=3, H=64, E=32, T=8):
+    dec = TransformerDecoder(
+        num_classes=13, d_model=E, memory_dim=H, num_heads=4, ff_dim=64,
+        num_layers=2, dropout=0.0, max_text_length=T,
+    )
+    enc_out = jnp.asarray(RNG.standard_normal((B, 10, H)).astype(np.float32))
+    sem = jnp.asarray(RNG.standard_normal((B, 5, E)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, T + 1), jnp.int32), sem, train=True,
+    )
+    return dec, variables, enc_out, sem
+
+
+def test_beam1_equals_greedy():
+    dec, variables, enc_out, sem = make_decoder()
+    greedy_logits = dec.apply(variables, enc_out, None, sem, train=False)
+    greedy_ids = np.asarray(jnp.argmax(greedy_logits, axis=-1))
+
+    tokens, scores = dec.apply(
+        variables, enc_out, sem, 1, method=TransformerDecoder.beam_decode
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), greedy_ids)
+    assert scores.shape == (3,)
+
+
+def test_beam5_no_worse_than_greedy():
+    """The best beam's sequence log-prob must be >= the greedy sequence's."""
+    dec, variables, enc_out, sem = make_decoder()
+
+    def seq_logprob(tokens):
+        """Teacher-forced log-prob of a token sequence under the decoder."""
+        B, T = tokens.shape
+        go = jnp.full((B, 1), 0, jnp.int32)
+        text_in = jnp.concatenate([go, tokens[:, :-1]], axis=1)
+        logits = dec.apply(variables, enc_out, text_in, sem, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+        logp = jax.nn.log_softmax(logits)
+        picked = jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+        # score accumulates only up to and including the first [s]
+        before_eos = jnp.cumprod(
+            jnp.concatenate(
+                [jnp.ones((B, 1), jnp.int32), (tokens[:, :-1] != EOS_ID)],
+                axis=1,
+            ),
+            axis=1,
+        )
+        return jnp.sum(picked * before_eos, axis=1)
+
+    greedy_logits = dec.apply(variables, enc_out, None, sem, train=False)
+    greedy_ids = jnp.argmax(greedy_logits, axis=-1).astype(jnp.int32)
+    g_scores = np.asarray(seq_logprob(greedy_ids))
+
+    tokens, b_scores = dec.apply(
+        variables, enc_out, sem, 5, method=TransformerDecoder.beam_decode
+    )
+    b_check = np.asarray(seq_logprob(tokens))
+    # reported scores match independently computed sequence log-probs
+    np.testing.assert_allclose(np.asarray(b_scores), b_check, atol=1e-4)
+    assert (b_check >= g_scores - 1e-5).all()
+
+
+def test_model_level_beam():
+    cfg = ModelConfig(
+        enc_layers=1, dec_layers=1, ff_dim=64, hidden_dim=64, embed_dim=32,
+        lstm_hidden=32, num_heads=4, compute_dtype="float32", dropout=0.0,
+    )
+    model = build_model(cfg)
+    B = 2
+    img = jnp.asarray(RNG.random((B, 32, 100, 1), dtype=np.float32))
+    overlap = jnp.zeros((B, 15), jnp.int32)
+    scene = jnp.zeros((B, 52), jnp.int32)
+    ious = jnp.full((B, 52), -1000.0)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        img, jnp.zeros((B, 26), jnp.int32), overlap, scene, ious, train=True,
+    )
+    tokens, scores = model.apply(
+        variables, img, overlap, scene, ious, 5,
+        method=SceneTextModel.beam_decode,
+    )
+    assert tokens.shape == (B, 25)
+    assert scores.shape == (B,)
