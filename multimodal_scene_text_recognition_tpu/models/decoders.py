@@ -80,7 +80,7 @@ class DecLayerWeights(NamedTuple):
     post_memory: Optional[FusionSiteWeights]
 
 
-def _relevance(feats, sem, mlp_ws):
+def _relevance(feats, sem, mlp_ws, return_scores: bool = False):
     """Pure-fn relevance fusion (see layers.relevance_fusion)."""
     B, T, _ = feats.shape
     O = sem.shape[1]
@@ -92,7 +92,10 @@ def _relevance(feats, sem, mlp_ws):
         axis=-1,
     )
     scores = jax.nn.softmax(mlp_apply(pair, mlp_ws), axis=2)
-    return jnp.sum(sem[:, None, :, :] * scores, axis=2)
+    fused = jnp.sum(sem[:, None, :, :] * scores, axis=2)
+    if return_scores:
+        return fused, scores[..., 0]
+    return fused
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -250,7 +253,13 @@ class TransformerDecoder(nn.Module):
         (reference: decoders.py:188-193)."""
         memory = self.hid_to_emb(enc_out)
         if self.pre_decoder_mlp:
-            rel = _relevance(memory, semantics, self.relevant_mlp.weights())
+            rel, scores = _relevance(
+                memory, semantics, self.relevant_mlp.weights(),
+                return_scores=True,
+            )
+            # introspection (reference PRINT_ATTENTION_SCORES,
+            # decoders.py:160-174): collect with mutable=['intermediates']
+            self.sow("intermediates", "pre_decoder_scores", scores)
             combined = jnp.concatenate([memory, rel], axis=-1)
             memory = memory + mlp_apply(combined, self.combine_mlp.weights())
         return memory

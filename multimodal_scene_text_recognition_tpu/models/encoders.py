@@ -115,9 +115,14 @@ class TransformerEncoder(nn.Module):
             # relevance-weighted semantic sum per column, combined back into
             # the stream (reference: encoders.py:83-113, 126-133)
             score_mlp = MLP(self.d_model, 1, num_layers=3, name="sem_relevance_mlp")
-            rel = relevance_fusion(
-                x, semantics, lambda p: score_mlp(p, deterministic=deterministic)
+            rel, scores = relevance_fusion(
+                x, semantics,
+                lambda p: score_mlp(p, deterministic=deterministic),
+                return_scores=True,
             )
+            # introspection capability (reference PRINT_ATTENTION_SCORES,
+            # encoders.py:110-123): collect with mutable=['intermediates']
+            self.sow("intermediates", "pre_encoder_scores", scores)
             combined = jnp.concatenate([x, rel], axis=-1)
             x = x + MLP(self.d_model, self.d_model, num_layers=3,
                         name="combine_mlp")(combined, deterministic=deterministic)

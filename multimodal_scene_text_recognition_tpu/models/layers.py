@@ -266,7 +266,8 @@ def relevance_fusion(
     feats: jnp.ndarray,
     sem: jnp.ndarray,
     score_mlp: Callable[[jnp.ndarray], jnp.ndarray],
-) -> jnp.ndarray:
+    return_scores: bool = False,
+):
     """Per-position soft selection of semantic vectors — the fusion primitive
     used at every MLP fusion site (reference: encoders.py:93-113,
     decoders.py:143-164, decoders.py:400-420).
@@ -288,4 +289,7 @@ def relevance_fusion(
     )
     scores = score_mlp(pair)  # [B, T, O, 1]
     scores = jax.nn.softmax(scores, axis=2)
-    return jnp.sum(sem[:, None, :, :] * scores, axis=2)
+    fused = jnp.sum(sem[:, None, :, :] * scores, axis=2)
+    if return_scores:
+        return fused, scores[..., 0]
+    return fused

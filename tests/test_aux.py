@@ -1,0 +1,138 @@
+"""Aux-subsystem tests: attention introspection, profiling, checkpoints, CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_scene_text_recognition_tpu.core.config import (
+    Config,
+    ModelConfig,
+    TrainConfig,
+    apply_overrides,
+)
+from multimodal_scene_text_recognition_tpu.models.model import build_model
+
+TINY = ModelConfig(
+    enc_layers=1, dec_layers=1, ff_dim=64, hidden_dim=64, embed_dim=32,
+    lstm_hidden=32, num_heads=4, compute_dtype="float32", dropout=0.0,
+)
+
+
+def make_batch(B=2):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(rng.random((B, 32, 100, 1), dtype=np.float32)),
+        "text": jnp.zeros((B, 27), jnp.int32),
+        "overlap": jnp.zeros((B, 15), jnp.int32),
+        "scene": jnp.zeros((B, 52), jnp.int32),
+        "ious": jnp.full((B, 52), -1000.0),
+    }
+
+
+def init_vars(model, batch):
+    rng = jax.random.PRNGKey(0)
+    return model.init(
+        {"params": rng, "dropout": rng},
+        batch["image"], batch["text"][:, :-1], batch["overlap"],
+        batch["scene"], batch["ious"], train=True,
+    )
+
+
+def test_attention_scores_collected():
+    from multimodal_scene_text_recognition_tpu.eval.attention import (
+        collect_attention_scores,
+        format_scores,
+    )
+
+    cfg = ModelConfig(
+        **{**TINY.__dict__, "pre_encoder_mlp": True, "pre_decoder_mlp": True}
+    )
+    model = build_model(cfg)
+    batch = make_batch()
+    variables = init_vars(model, batch)
+    scores = collect_attention_scores(model, variables, batch)
+    sites = sorted(scores)
+    assert any("pre_encoder_scores" in s for s in sites)
+    assert any("pre_decoder_scores" in s for s in sites)
+    enc = [v for k, v in scores.items() if "pre_encoder_scores" in k][0]
+    assert enc.shape == (2, 26, 15)  # cols x overlap objects
+    np.testing.assert_allclose(enc.sum(-1), 1.0, atol=1e-5)  # softmax rows
+    df = format_scores(enc)
+    assert df.shape == (26, 15)
+
+
+def test_config_overrides():
+    cfg = Config()
+    cfg = apply_overrides(
+        cfg,
+        ["model.encoder=lstm", "train.batch_size=96",
+         "model.pre_encoder_mlp=true", "train.iteration_limit=100",
+         "experiment=exp2"],
+    )
+    assert cfg.model.encoder == "lstm"
+    assert cfg.train.batch_size == 96
+    assert cfg.model.pre_encoder_mlp is True
+    assert cfg.train.iteration_limit == 100
+    assert cfg.experiment == "exp2"
+    # originals untouched (frozen dataclasses)
+    assert Config().model.encoder == "transformer"
+
+
+def test_step_timer():
+    from multimodal_scene_text_recognition_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(batch_size=8)
+    t.tick()
+    t.tick()
+    t.tick()
+    s = t.stats()
+    assert "step_ms_p50" in s and s["crops_per_sec"] > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from multimodal_scene_text_recognition_tpu.data.pipeline import device_batch
+    from multimodal_scene_text_recognition_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from multimodal_scene_text_recognition_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    model = build_model(TINY)
+    batch = make_batch()
+    tx = make_optimizer(TrainConfig(batch_size=2))
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, jax.device_get(state))
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_cli_validate_synthetic(tmp_path, capsys):
+    from multimodal_scene_text_recognition_tpu.cli import main
+
+    rc = main([
+        "validate",
+        "--dataset", "synthetic",
+        "--set", "model.enc_layers=1", "--set", "model.dec_layers=1",
+        "--set", "model.ff_dim=64", "--set", "model.hidden_dim=64",
+        "--set", "model.embed_dim=32", "--set", "model.num_heads=4",
+        "--set", "model.compute_dtype=float32",
+        "--set", "train.batch_size=8",
+        "--set", "data.synthetic_train_size=8",
+        "--set", "data.synthetic_val_size=8",
+        "--records", str(tmp_path / "records.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "val accuracy" in out
+    assert os.path.exists(tmp_path / "records.csv")
