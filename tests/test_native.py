@@ -39,7 +39,9 @@ def test_native_matches_numpy():
     imgs, boxes = make_inputs()
     a = crop_resize_gray_batch(imgs, boxes)
     b = crop_resize_gray_batch(imgs, boxes, force_numpy=True)
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    # float32 accumulation order differs between the C++ and numpy paths;
+    # 1e-4 is far below the 1/255 quantisation step
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 @pytest.mark.skipif(not have_native(), reason="native lib unavailable")
