@@ -139,6 +139,24 @@ def ann_rects(anns: Sequence[Dict]) -> List[Tuple[float, float, float, float]]:
     return [tuple(a["bbox"]) for a in anns]
 
 
+def show_annotations(anns: Sequence[Dict], ax=None, show_text: bool = True):
+    """Render annotation boxes (+ transcriptions) on a matplotlib axis
+    (reference: coco_text.py:170-198).  matplotlib is imported lazily so the
+    data path never depends on it."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    ax = ax or plt.gca()
+    for a in anns:
+        x, y, w, h = a["bbox"]
+        ax.add_patch(
+            Rectangle((x, y), w, h, fill=False, edgecolor="lime", linewidth=1.5)
+        )
+        if show_text and a.get("utf8_string"):
+            ax.text(x, y - 2, a["utf8_string"], color="lime", fontsize=8)
+    return ax
+
+
 @dataclass
 class CocoTextAnnotation:
     anno_id: int

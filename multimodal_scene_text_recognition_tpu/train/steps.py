@@ -48,6 +48,30 @@ def cross_entropy(
     return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def ctc_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """CTC loss over per-column logits (blank = 0, chars shifted +1 — the
+    layout of core.charset.CTCCodec / reference utils.py:5-52).
+
+    The reference ships CTC converters but never wires a CTC criterion;
+    here the path is complete: pair a 'linear' decoder (per-column logits)
+    with this loss and the CTCCodec.
+
+    logits: [B, T, C]; labels: [B, L] (0-padded); label_lengths: [B].
+    """
+    B, T, _ = logits.shape
+    logit_paddings = jnp.zeros((B, T), logits.dtype)
+    L = labels.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    label_paddings = (pos >= label_lengths[:, None]).astype(logits.dtype)
+    return optax.ctc_loss(
+        logits, logit_paddings, labels, label_paddings, blank_id=0
+    ).mean()
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
