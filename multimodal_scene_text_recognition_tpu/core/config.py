@@ -82,6 +82,9 @@ class ModelConfig:
     # default; float32 matches the reference bit-for-bit for parity tests.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # rematerialise the conv backbone in backward (trade FLOPs for HBM) —
+    # lets batch scale well beyond the reference's 192
+    remat: bool = False
 
     @property
     def num_classes(self) -> int:

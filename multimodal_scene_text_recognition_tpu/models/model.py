@@ -40,7 +40,11 @@ class SceneTextModel(nn.Module):
             cfg.num_fiducial, cfg.img_h, cfg.img_w, name="transformation"
         )
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.feature_extractor = ResNet31(
+        # static_argnums: (self, x, train) — the train flag is trace-static
+        backbone_cls = (
+            nn.remat(ResNet31, static_argnums=(2,)) if cfg.remat else ResNet31
+        )
+        self.feature_extractor = backbone_cls(
             output_channels=cfg.hidden_dim, dtype=dtype, name="feature_extractor"
         )
         self.semantic = build_semantic_embedder(cfg)
@@ -123,7 +127,7 @@ class SceneTextModel(nn.Module):
         ious [B, 52] float.  Returns logits [B, T(or steps), num_classes].
         """
         rectified = self.transformation(image, train=train)
-        feats = self.feature_extractor(rectified, train=train)
+        feats = self.feature_extractor(rectified, train)
         cols = to_column_sequence(feats).astype(jnp.float32)
         semantics = self.semantic(overlap, scene, ious)
         encoded = self.encoder(cols, semantics=semantics, train=train)
@@ -148,7 +152,7 @@ class SceneTextModel(nn.Module):
         if self.cfg.decoder != "transformer":
             raise NotImplementedError("beam decode requires the TF decoder")
         rectified = self.transformation(image, train=False)
-        feats = self.feature_extractor(rectified, train=False)
+        feats = self.feature_extractor(rectified, False)
         cols = to_column_sequence(feats).astype(jnp.float32)
         semantics = self.semantic(overlap, scene, ious)
         encoded = self.encoder(cols, semantics=semantics, train=False)

@@ -26,15 +26,15 @@ m = model.bind(variables)
 
 @jax.jit
 def tps_only(v, img):
-    return model.apply(v, img, train=False,
-                       method=lambda m, img, train: m.transformation(img, train=train))
+    return jnp.sum(model.apply(v, img, train=False,
+                       method=lambda m, img, train: m.transformation(img, train=train)))
 
 @jax.jit
 def thru_resnet(v, img):
     def f(m, img, train):
         r = m.transformation(img, train=train)
         return to_column_sequence(m.feature_extractor(r, train=train))
-    return model.apply(v, img, train=False, method=f)
+    return jnp.sum(model.apply(v, img, train=False, method=f))
 
 @jax.jit
 def thru_encoder(v, img, overlap, scene, ious):
@@ -43,7 +43,7 @@ def thru_encoder(v, img, overlap, scene, ious):
         cols = to_column_sequence(m.feature_extractor(r, train=train)).astype(jnp.float32)
         sem = m.semantic(overlap, scene, ious)
         return m.encoder(cols, semantics=sem, train=train)
-    return model.apply(v, img, overlap, scene, ious, train=False, method=f)
+    return jnp.sum(model.apply(v, img, overlap, scene, ious, train=False, method=f))
 
 @jax.jit
 def full_decode(v, img, overlap, scene, ious):
