@@ -220,6 +220,9 @@ class TransformerDecoder(nn.Module):
     multihead_pre_memory: bool = False
     multihead_post_memory: bool = False
     post_decoder_mlp: bool = False
+    # compute dtype for the decode scan (params stay f32; bf16 roughly
+    # halves per-step matmul time on the MXU). Training stays f32.
+    dtype: str = "float32"
 
     def setup(self):
         E = self.d_model
@@ -324,12 +327,27 @@ class TransformerDecoder(nn.Module):
 
         Returns (step_all, make_caches): ``step_all(x[B',1,E], t, caches)``
         runs every layer + final norm + logit head for one position with
-        KV caches; used by both greedy and beam decode.
+        KV caches; used by both greedy and beam decode.  Runs in
+        ``self.dtype`` (norm statistics and logits stay float32).
         """
+        dt = jnp.dtype(self.dtype)
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda x: x.astype(dt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                tree,
+            )
+
+        memory = memory.astype(dt)
+        if sem is not None:
+            sem = sem.astype(dt)
         Bp = memory.shape[0]
         E = self.d_model
         T = self.max_text_length
-        layer_ws: List[DecLayerWeights] = [l.weights() for l in self.decoder_layers]
+        layer_ws: List[DecLayerWeights] = [
+            cast(l.weights()) for l in self.decoder_layers
+        ]
 
         # cross-attention K/V once per layer
         cross_kv = []
@@ -337,13 +355,13 @@ class TransformerDecoder(nn.Module):
             _, k, v = qkv_projections(memory, memory, w.cross_attn)
             cross_kv.append((k, v))
 
-        final_norm_w = self.final_norm.weights()
-        emb_to_classes_w = self.emb_to_classes.weights()
+        final_norm_w = cast(self.final_norm.weights())
+        emb_to_classes_w = cast(self.emb_to_classes.weights())
 
         def make_caches():
             caches = {
-                "k": jnp.zeros((self.num_layers, Bp, T, E)),
-                "v": jnp.zeros((self.num_layers, Bp, T, E)),
+                "k": jnp.zeros((self.num_layers, Bp, T, E), dt),
+                "v": jnp.zeros((self.num_layers, Bp, T, E), dt),
             }
             for site, enabled in (
                 ("pre_target", self.multihead_pre_target),
@@ -351,8 +369,8 @@ class TransformerDecoder(nn.Module):
                 ("post_memory", self.multihead_post_memory),
             ):
                 if enabled:
-                    caches[f"{site}_k"] = jnp.zeros((self.num_layers, Bp, T, E))
-                    caches[f"{site}_v"] = jnp.zeros((self.num_layers, Bp, T, E))
+                    caches[f"{site}_k"] = jnp.zeros((self.num_layers, Bp, T, E), dt)
+                    caches[f"{site}_v"] = jnp.zeros((self.num_layers, Bp, T, E), dt)
             return caches
 
         def cached_attend(x, kv_src, mha_w, cache_key, i, t, caches):
@@ -411,11 +429,12 @@ class TransformerDecoder(nn.Module):
             return x, caches
 
         def step_all(x, t, caches):
+            x = x.astype(dt)
             for i in range(self.num_layers):
                 x, caches = step_layer(i, x, t, caches)
             x = layer_norm_apply(x, final_norm_w)
             logits_t = linear_apply(x, emb_to_classes_w)[:, 0]  # [B', C]
-            return logits_t, caches
+            return logits_t.astype(jnp.float32), caches
 
         return step_all, make_caches
 

@@ -185,9 +185,13 @@ class LayerNormP(nn.Module):
 
 def layer_norm_apply(x, w, eps: float = 1e-5):
     scale, bias = w
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # statistics always in float32 (x may be bf16 on the decode fast path)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def mlp_apply(x, layer_weights):

@@ -36,10 +36,11 @@ class SceneTextModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.transformation = TPSTransform(
-            cfg.num_fiducial, cfg.img_h, cfg.img_w, name="transformation"
-        )
         dtype = jnp.dtype(cfg.compute_dtype)
+        self.transformation = TPSTransform(
+            cfg.num_fiducial, cfg.img_h, cfg.img_w, dtype=dtype,
+            name="transformation"
+        )
         # static_argnums: (self, x, train) — the train flag is trace-static
         backbone_cls = (
             nn.remat(ResNet31, static_argnums=(2,)) if cfg.remat else ResNet31
@@ -102,6 +103,7 @@ class SceneTextModel(nn.Module):
                 multihead_pre_memory=cfg.multihead_pre_memory,
                 multihead_post_memory=cfg.multihead_post_memory,
                 post_decoder_mlp=cfg.post_decoder_mlp,
+                dtype=cfg.compute_dtype,
                 name="decoder",
             )
         elif cfg.decoder == "linear":

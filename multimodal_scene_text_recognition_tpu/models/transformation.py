@@ -26,23 +26,27 @@ class LocalizationNetwork(nn.Module):
 
     Conv(64) -> pool -> Conv(128) -> pool -> Conv(256) -> pool -> Conv(512)
     -> global avg pool -> fc 512->256 -> fc 256->2F (zero weights, identity
-    bias) — each conv is 3x3 stride 1, BN, ReLU.
+    bias) — each conv is 3x3 stride 1, BN, ReLU.  Convs run in ``dtype``
+    (bf16 in the flagship config); the fiducial head stays float32.
     """
 
     num_fiducial: int = 20
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         for ch in (64, 128, 256, 512):
-            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"conv{ch}")(x)
+            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{ch}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"bn{ch}",
+                dtype=self.dtype, name=f"bn{ch}",
             )(x)
             x = nn.relu(x)
             if ch != 512:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global avg pool
         x = nn.relu(nn.Dense(256, name="fc1")(x))
 
         bias = tps.build_identity_bias(self.num_fiducial)
@@ -62,12 +66,22 @@ class TPSTransform(nn.Module):
     num_fiducial: int = 20
     out_h: int = 32
     out_w: int = 100
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False):
         """img: [B, H, W, C] -> rectified [B, out_h, out_w, C]."""
-        c_prime = LocalizationNetwork(self.num_fiducial, name="loc_net")(
-            img, train=train
-        )
+        import jax
+
+        c_prime = LocalizationNetwork(
+            self.num_fiducial, dtype=self.dtype, name="loc_net"
+        )(img, train=train)
         grid = tps.build_sampling_grid(c_prime, self.out_h, self.out_w)
-        return grid_sample(img, grid)
+        # full-precision sampling only when the model itself is f32 (parity
+        # mode); bf16 configs take the single-pass MXU sampling
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        return grid_sample(img, grid, precision=precision)

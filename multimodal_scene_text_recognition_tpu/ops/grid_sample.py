@@ -50,13 +50,20 @@ def _hat_weights(src: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - idx[0]))
 
 
-def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """Bilinear sample ``img`` at ``grid`` (border padding, align_corners).
 
     Args:
       img:  [B, H, W, C] input (NHWC — TPU-native layout).
       grid: [B, Ho, Wo, 2] normalised (x, y) sample locations in [-1, 1]
             (same layout as torch: last dim is (x, y)).
+      precision: matmul precision.  HIGHEST (default) gives torch-level
+        pixel parity; DEFAULT uses a single bf16 MXU pass (~4e-3 pixel
+        error on [0,1] images) and is ~3x faster — fine for training.
 
     Returns:
       [B, Ho, Wo, C] sampled output.
@@ -73,17 +80,14 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wy = _hat_weights(sy, H)  # [B, N, H]
     wx = _hat_weights(sx, W)  # [B, N, W]
 
-    # HIGHEST precision: on TPU the default bf16 MXU pass costs ~4e-3 pixel
-    # error; full-f32 keeps sampling parity with the reference and the FLOPs
-    # here are negligible.
     # rows[b, n, w, c] = sum_h wy[b, n, h] * img[b, h, w, c]
     rows = jnp.einsum("bnh,bhwc->bnwc", wy, img.astype(jnp.float32),
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
     # out[b, n, c] = sum_w wx[b, n, w] * rows[b, n, w, c]
     out = jnp.einsum("bnw,bnwc->bnc", wx, rows,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
     return out.reshape(B, Ho, Wo, C).astype(img.dtype)
 
 
