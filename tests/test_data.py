@@ -255,3 +255,40 @@ def test_keep_ratio_resize_pads_right():
     np.testing.assert_allclose(
         out[:, 32:], np.broadcast_to(out[:, 31:32], out[:, 32:].shape), atol=0.02
     )
+
+
+# ---------------------------------------------------------------------------
+# bert tag tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_tag_tokenizer():
+    from multimodal_scene_text_recognition_tpu.data.bert_tokens import (
+        TagTokenizer,
+    )
+
+    tok = TagTokenizer(["traffic light", "person", "car"])
+    ids = tok.encode_tags(["person", "traffic light"], max_len=10)
+    assert ids.shape == (10,)
+    v = tok.vocab
+    assert ids[0] == v["[CLS]"]
+    assert list(ids[1:6]) == [v["person"], v["[SEP]"], v["traffic"],
+                              v["light"], 0]
+    # unknown tags hit [UNK]
+    ids2 = tok.encode_tags(["zebra"], max_len=4)
+    assert ids2[1] == v["[UNK]"]
+    # frequency encoding repeats tags
+    ids3 = tok.encode_tags(["car"], max_len=8, encode_frequency=True,
+                           counts=[2])
+    assert list(ids3[:4]) == [v["[CLS]"], v["car"], v["[SEP]"], v["car"]]
+
+
+def test_tokenizer_from_class_file():
+    from multimodal_scene_text_recognition_tpu.data.bert_tokens import (
+        tokenizer_from_class_file,
+    )
+
+    tok = tokenizer_from_class_file("assets/features/coco_classes.txt")
+    assert tok.vocab_size > 80
+    ids = tok.encode_tags(["person", "car"], max_len=8)
+    assert (ids[:4] > 0).all()
