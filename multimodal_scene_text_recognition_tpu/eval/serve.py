@@ -1,0 +1,127 @@
+"""Serving-oriented recognizer: fixed-shape jitted decode behind a simple API.
+
+Production counterpart to the eval harness: one compiled program per batch
+bucket, host-side padding/truncation to the bucket, strings out.  The
+reference has no serving story (evaluate.py runs one crop at a time through
+a B=192-shaped zero tensor, evaluate.py:232).
+
+Usage:
+    rec = Recognizer.from_bundle(api.get_model(...), batch_sizes=(1, 8, 64))
+    texts = rec.recognize(crops)              # list of np [H, W] grayscale
+    texts, scores = rec.recognize(crops, beam_size=5, return_scores=True)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.charset import AttnCodec
+
+
+class Recognizer:
+    def __init__(self, model, variables, cfg, batch_sizes: Sequence[int] = (1, 8, 64)):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+        self.batch_sizes = tuple(sorted(batch_sizes))
+
+        def greedy(variables, image, overlap, scene, ious):
+            logits = model.apply(
+                variables, image, None, overlap, scene, ious, train=False
+            )
+            return jnp.argmax(logits, axis=-1)
+
+        def beam(variables, image, overlap, scene, ious, beam_size):
+            from ..models.model import SceneTextModel
+
+            return model.apply(
+                variables, image, overlap, scene, ious, beam_size,
+                method=SceneTextModel.beam_decode,
+            )
+
+        self._greedy = jax.jit(greedy)
+        self._beam = jax.jit(beam, static_argnums=(5,))
+
+    @classmethod
+    def from_bundle(cls, bundle, **kw) -> "Recognizer":
+        return cls(bundle.model, bundle.variables, bundle.cfg, **kw)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def _prepare(self, crops: Sequence[np.ndarray], B: int):
+        m = self.cfg.model
+        img = np.zeros((B, m.img_h, m.img_w, 1), np.float32)
+        for i, c in enumerate(crops):
+            c = np.asarray(c, np.float32)
+            if c.max() > 1.5:  # uint8-range input
+                c = c / 255.0
+            if c.ndim == 2:
+                c = c[..., None]
+            if c.shape[:2] != (m.img_h, m.img_w):
+                from ..utils.native import crop_resize_gray_batch
+
+                c = crop_resize_gray_batch(
+                    [np.ascontiguousarray((c[..., 0] * 255).astype(np.uint8))],
+                    np.asarray([[0, 0, c.shape[1], c.shape[0]]], np.float32),
+                    m.img_h, m.img_w,
+                )[0]
+            img[i] = c
+        return {
+            "image": jnp.asarray(img),
+            "overlap": jnp.zeros((B, m.max_overlap_objs), jnp.int32),
+            "scene": jnp.zeros((B, m.max_scene_objs), jnp.int32),
+            "ious": jnp.full((B, m.max_scene_objs), -1000.0, jnp.float32),
+        }
+
+    def recognize(
+        self,
+        crops: Sequence[np.ndarray],
+        semantics: Optional[Dict[str, np.ndarray]] = None,
+        beam_size: int = 0,
+        return_scores: bool = False,
+    ):
+        """Recognise a list of grayscale crops; returns decoded strings.
+
+        ``semantics``: optional dict with 'overlap'/'scene'/'ious' arrays
+        aligned to ``crops`` for the multimodal path.
+        """
+        out_texts: List[str] = []
+        out_scores: List[float] = []
+        i = 0
+        while i < len(crops):
+            chunk = crops[i : i + self.batch_sizes[-1]]
+            B = self._bucket(len(chunk))
+            batch = self._prepare(chunk, B)
+            if semantics is not None:
+                for k in ("overlap", "scene", "ious"):
+                    if k in semantics:
+                        arr = np.zeros_like(np.asarray(batch[k]))
+                        arr[: len(chunk)] = semantics[k][i : i + len(chunk)]
+                        batch[k] = jnp.asarray(arr)
+            if beam_size and self.cfg.model.decoder == "transformer":
+                ids, scores = self._beam(
+                    self.variables, batch["image"], batch["overlap"],
+                    batch["scene"], batch["ious"], int(beam_size),
+                )
+                out_scores.extend(np.asarray(scores)[: len(chunk)].tolist())
+            else:
+                ids = self._greedy(
+                    self.variables, batch["image"], batch["overlap"],
+                    batch["scene"], batch["ious"],
+                )
+                out_scores.extend([0.0] * len(chunk))
+            out_texts.extend(self.codec.decode(np.asarray(ids))[: len(chunk)])
+            i += len(chunk)
+        if return_scores:
+            return out_texts, out_scores
+        return out_texts
