@@ -18,6 +18,7 @@ v2.0 helper) and coco_dataset.py:59-193, rebuilt:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass
@@ -249,12 +250,49 @@ def load_crop(
     return (np.asarray(img, np.float32) / 255.0)[..., None]
 
 
-class CocoTextSamples:
-    """Sequence of pipeline samples with lazy image decode."""
+@functools.lru_cache(maxsize=64)
+def _load_page(image_path: str) -> np.ndarray:
+    """Decoded grayscale page, LRU-cached — many word crops share one image,
+    so amortising the jpeg decode dominates host cost on COCO-Text/TextOCR
+    (the reference re-decodes the page for every crop,
+    coco_dataset.py:242)."""
+    from PIL import Image
 
-    def __init__(self, annotations: List[CocoTextAnnotation], cfg: Config):
+    return np.asarray(Image.open(image_path).convert("L"), np.uint8)
+
+
+def load_crop_native(
+    image_path: str,
+    bbox: Sequence[float],
+    out_h: int = 32,
+    out_w: int = 100,
+) -> np.ndarray:
+    """Page-cache + native C++ crop/resize fast path (utils/native.py)."""
+    from ..utils.native import crop_resize_gray_batch
+
+    page = _load_page(image_path)
+    return crop_resize_gray_batch(
+        [page], np.asarray([bbox], np.float32), out_h, out_w, threads=1
+    )[0]
+
+
+class CocoTextSamples:
+    """Sequence of pipeline samples with lazy image decode.
+
+    ``use_native=True`` (default) decodes each page once (LRU) and crops
+    with the native C++ kernel; False reproduces the reference's exact
+    PIL crop-then-resize per sample.
+    """
+
+    def __init__(
+        self,
+        annotations: List[CocoTextAnnotation],
+        cfg: Config,
+        use_native: bool = True,
+    ):
         self.annotations = annotations
         self.cfg = cfg
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.annotations)
@@ -265,9 +303,10 @@ class CocoTextSamples:
         ov, sc, ious = geometry.pad_semantic_vectors(
             a.overlap, a.scene, m.max_overlap_objs, m.max_scene_objs
         )
+        loader = load_crop_native if self.use_native else load_crop
         return SyntheticSample(
             anno_id=a.anno_id,
-            image=load_crop(a.image_path, a.bbox, m.img_h, m.img_w),
+            image=loader(a.image_path, a.bbox, m.img_h, m.img_w),
             label=a.label,
             overlap=ov,
             scene=sc,

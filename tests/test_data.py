@@ -292,3 +292,25 @@ def test_tokenizer_from_class_file():
     assert tok.vocab_size > 80
     ids = tok.encode_tags(["person", "car"], max_len=8)
     assert (ids[:4] > 0).all()
+
+
+def test_native_crop_loader_matches_pil(tmp_path):
+    from PIL import Image
+
+    from multimodal_scene_text_recognition_tpu.data.cocotext import (
+        load_crop,
+        load_crop_native,
+    )
+
+    # smooth gradient page: PIL's area-weighted BILINEAR and our 2-tap
+    # bilinear agree on smooth content (they differ materially only on
+    # high-frequency noise)
+    yy, xx = np.mgrid[0:200, 0:300]
+    page = ((yy * 255 / 200 + xx * 255 / 300) / 2).astype(np.uint8)
+    p = str(tmp_path / "page.png")
+    Image.fromarray(page).save(p)
+    bbox = [40.0, 30.0, 120.0, 60.0]
+    a = load_crop(p, bbox)
+    b = load_crop_native(p, bbox)
+    assert a.shape == b.shape == (32, 100, 1)
+    assert np.abs(a - b).mean() < 0.01
