@@ -375,24 +375,25 @@ class TransformerDecoder(nn.Module):
 
         def cached_attend(x, kv_src, mha_w, cache_key, i, t, caches):
             """Causal attention of x [B',1,E] over cached projections of
-            kv_src, writing position t into the named cache."""
+            kv_src, writing position t into the named cache.
+
+            One dynamic_update_slice into the stacked [L,B',T,E] cache (no
+            slice-out/set-back round trip) so XLA keeps the update in place
+            across scan iterations.
+            """
             q, k_t, v_t = qkv_projections(x, kv_src, mha_w)
-            k_cache = jax.lax.dynamic_update_slice(
-                caches[f"{cache_key}k"][i], k_t, (0, t, 0)
+            k_all = jax.lax.dynamic_update_slice(
+                caches[f"{cache_key}k"], k_t[None], (i, 0, t, 0)
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                caches[f"{cache_key}v"][i], v_t, (0, t, 0)
+            v_all = jax.lax.dynamic_update_slice(
+                caches[f"{cache_key}v"], v_t[None], (i, 0, t, 0)
             )
             caches = dict(
-                caches,
-                **{
-                    f"{cache_key}k": caches[f"{cache_key}k"].at[i].set(k_cache),
-                    f"{cache_key}v": caches[f"{cache_key}v"].at[i].set(v_cache),
-                },
+                caches, **{f"{cache_key}k": k_all, f"{cache_key}v": v_all}
             )
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
             mask = jnp.where(pos <= t, 0.0, -jnp.inf)
-            a = attend(q, k_cache, v_cache, self.num_heads, mask)
+            a = attend(q, k_all[i], v_all[i], self.num_heads, mask)
             return a @ mha_w.w_out + mha_w.b_out, caches
 
         def step_layer(i, x, t, caches):
