@@ -106,6 +106,9 @@ def main(argv=None):
     common(p_val)
     p_val.add_argument("--records", default=None,
                        help="write per-sample prediction CSV here")
+    p_val.add_argument("--dump-attention", action="store_true",
+                       help="print fusion attention-score tables for the "
+                            "first batch (reference PRINT_ATTENTION_SCORES)")
     p_eval = sub.add_parser("evaluate")
     common(p_eval)
     p_eval.add_argument("--base-errors", required=False,
@@ -148,6 +151,14 @@ def main(argv=None):
     eval_step = make_eval_step(model)
 
     if args.cmd == "validate":
+        if args.dump_attention:
+            from .eval.attention import print_attention_scores
+
+            first = device_batch(
+                next(iter(batches(val_samples, batcher, shuffle=False,
+                                  drop_last=False)))
+            )
+            print_attention_scores(model, state.variables(), first)
         result = run_validate(
             eval_step, state.variables(),
             batches(val_samples, batcher, shuffle=False, drop_last=False),

@@ -158,6 +158,36 @@ def make_eval_step(model) -> Callable:
     return jax.jit(eval_step)
 
 
+def shard_eval_step(model, mesh: Mesh, variables) -> Tuple[Callable, Any]:
+    """Mesh-sharded greedy decode: batch over 'data', params per TP rules.
+
+    Returns (eval_step, placed_variables); eval_step(variables, batch) ->
+    ids.  Multi-chip inference counterpart of :func:`shard_train_step`.
+    """
+    var_sh = {
+        "params": mesh_lib.param_shardings(mesh, variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), variables["batch_stats"]
+        ),
+    }
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+
+    def eval_step(variables, batch):
+        logits = model.apply(
+            variables, batch["image"], None, batch["overlap"],
+            batch["scene"], batch["ious"], train=False,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    jitted = jax.jit(
+        eval_step,
+        in_shardings=(var_sh, batch_sh),
+        out_shardings=NamedSharding(mesh, P(mesh_lib.DATA_AXIS)),
+    )
+    placed = jax.device_put(variables, var_sh)
+    return jitted, placed
+
+
 def shard_train_step(
     raw_train_step: Callable, mesh: Mesh, state: TrainState
 ) -> Tuple[Callable, TrainState]:

@@ -211,3 +211,23 @@ def test_train_loop_end_to_end(tmp_path):
     state = train(cfg, model, train_s, val_s, verbose=False)
     assert int(state.step) == 8
     assert os.path.exists(tmp_path / "t_training_log.csv")
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_matches_single_device():
+    from multimodal_scene_text_recognition_tpu.parallel.mesh import make_mesh
+    from multimodal_scene_text_recognition_tpu.train.steps import shard_eval_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = build_model(TINY)
+    tx = make_optimizer(TrainConfig(batch_size=8))
+    batch = device_batch(make_batch())
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    single_ids = make_eval_step(model)(state.variables(), batch)
+
+    mesh = make_mesh(8, model_axis=2)
+    sharded, placed = shard_eval_step(model, mesh, state.variables())
+    sh_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    mesh_ids = sharded(placed, sh_batch)
+    np.testing.assert_array_equal(np.asarray(single_ids), np.asarray(mesh_ids))
