@@ -9,8 +9,8 @@ is the underlying modules (train/loop.py, eval/evaluate.py, cli.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 from .core.charset import AttnCodec
 from .core.config import Config

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import string
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 # 94 printable characters: string.printable minus the 6 trailing whitespace
 # controls (reference: config.py:20).

@@ -19,11 +19,10 @@ from __future__ import annotations
 import io
 import os
 import re
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
-from ..core.charset import check_text
 from ..core.config import Config
 from .synthetic import SyntheticSample
 

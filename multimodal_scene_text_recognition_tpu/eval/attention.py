@@ -12,7 +12,7 @@ model (the reference prints from inside forward on the primary replica).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from typing import Callable, Dict, Iterable, List, Optional, Sequence, Set
 import numpy as np
 
 from ..core.charset import AttnCodec
-from ..core.metrics import EvalResult, PredRecord, word_accuracy
+from ..core.metrics import EvalResult, PredRecord
 from ..data.pipeline import device_batch
 
 

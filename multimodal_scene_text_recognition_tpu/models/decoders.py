@@ -33,7 +33,7 @@ Reference bugs handled:
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

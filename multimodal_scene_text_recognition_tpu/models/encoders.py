@@ -16,8 +16,6 @@ Capability parity with reference modules/encoders.py:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

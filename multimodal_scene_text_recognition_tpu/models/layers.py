@@ -14,7 +14,7 @@ Torch-parity notes:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ stay float32.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,7 +16,7 @@ parallelism over the transformer FF kernels and attention projections
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -16,11 +16,9 @@ training_functions.py:129-133).  Here:
 from __future__ import annotations
 
 import os
-import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
-import numpy as np
 
 
 def _ocp():

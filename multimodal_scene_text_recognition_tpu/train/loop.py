@@ -20,7 +20,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import numpy as np

@@ -9,9 +9,8 @@ pytree — the reference saves bare module weights only (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import optax
 from flax import struct
 from flax.core import FrozenDict

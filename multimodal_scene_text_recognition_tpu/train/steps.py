@@ -10,8 +10,7 @@ all-reduce (replacing nn.DataParallel's scatter/gather, model.py:115).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
