@@ -77,11 +77,12 @@ class TPSTransform(nn.Module):
             self.num_fiducial, dtype=self.dtype, name="loc_net"
         )(img, train=train)
         grid = tps.build_sampling_grid(c_prime, self.out_h, self.out_w)
-        # full-precision sampling only when the model itself is f32 (parity
-        # mode); bf16 configs take the single-pass MXU sampling
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if self.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        return grid_sample(img, grid, precision=precision)
+        if self.dtype == jnp.float32:
+            # parity mode: full-precision sampling; the fused Pallas kernel
+            # (bit-equal to the jnp HIGHEST path, ~15% faster) handles the
+            # forward on TPU with the XLA-derived backward
+            from ..ops.grid_sample import grid_sample_hybrid
+
+            return grid_sample_hybrid(img, grid)
+        # bf16 configs take the single-pass MXU sampling
+        return grid_sample(img, grid, precision=jax.lax.Precision.DEFAULT)

@@ -97,34 +97,50 @@ def grid_sample(
 # ---------------------------------------------------------------------------
 
 
+# batch elements per grid step — TPU pallas needs the sublane dim of each
+# block divisible by 8 (or equal to the full array dim)
+_B_BLK = 8
+
+
 def _grid_sample_kernel(img_ref, gx_ref, gy_ref, out_ref, *, H, W, N):
-    img = img_ref[0]          # [H, W]  (single channel slice)
-    gx = gx_ref[0]            # [N]
-    gy = gy_ref[0]
+    # iota must be integer-typed inside pallas (Mosaic constraint)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1).astype(jnp.float32)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1).astype(jnp.float32)
 
-    sx = jnp.clip((gx + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)  # [N]
-    sy = jnp.clip((gy + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+    def body(i, _):
+        # sequential loop (not a static unroll) so only one iteration's
+        # temporaries are live in VMEM at a time
+        img = img_ref[i]      # [H, W]
+        gx = gx_ref[i]        # [N]
+        gy = gy_ref[i]
 
-    row_idx = jax.lax.broadcasted_iota(jnp.float32, (N, H), 1)
-    col_idx = jax.lax.broadcasted_iota(jnp.float32, (N, W), 1)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - row_idx))  # [N, H]
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - col_idx))  # [N, W]
+        sx = jnp.clip((gx + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)  # [N]
+        sy = jnp.clip((gy + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
 
-    rows = jnp.dot(wy, img, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)          # [N, W]
-    out_ref[0] = jnp.sum(rows * wx, axis=1)                      # [N]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - row_idx))  # [N, H]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - col_idx))  # [N, W]
+
+        rows = jnp.dot(wy, img, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)          # [N, W]
+        out_ref[i] = jnp.sum(rows * wx, axis=1)                      # [N]
+        return 0
+
+    jax.lax.fori_loop(0, _B_BLK, body, 0)
 
 
 def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas version of :func:`grid_sample` for single-channel NHWC.
 
     Forward-only building block; gradients route through the jnp formulation
-    via :func:`grid_sample_hybrid`.
+    via :func:`grid_sample_hybrid`.  Requires B % 8 == 0 (the TPU block
+    constraint); callers fall back to the jnp path otherwise.
     """
     B, H, W, C = img.shape
     _, Ho, Wo, _ = grid.shape
     if C != 1:
         raise NotImplementedError("pallas grid_sample kernel supports C=1")
+    if B % _B_BLK != 0:
+        return grid_sample(img, grid)
     N = Ho * Wo
 
     gx = grid[..., 0].reshape(B, N)
@@ -134,13 +150,17 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     kernel = functools.partial(_grid_sample_kernel, H=H, W=W, N=N)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // _B_BLK,),
         in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_B_BLK, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_B_BLK, N), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_B_BLK, N), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_B_BLK, N), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * H * W // 16,  # sparse-in-effect matmul
