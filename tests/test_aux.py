@@ -136,3 +136,43 @@ def test_cli_validate_synthetic(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "val accuracy" in out
     assert os.path.exists(tmp_path / "records.csv")
+
+
+def test_error_diff_eval(tmp_path):
+    from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec
+    from multimodal_scene_text_recognition_tpu.data.pipeline import Batcher, batches
+    from multimodal_scene_text_recognition_tpu.data.synthetic import make_dataset
+    from multimodal_scene_text_recognition_tpu.eval.evaluate import (
+        error_diff_eval,
+        load_class_labels,
+        tags_for,
+    )
+    from multimodal_scene_text_recognition_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from multimodal_scene_text_recognition_tpu.train.steps import make_eval_step
+    from multimodal_scene_text_recognition_tpu.data.pipeline import device_batch
+
+    model = build_model(TINY)
+    codec = AttnCodec(TINY.chars, TINY.max_text_length)
+    samples = make_dataset(8, seed=0, vocab_words=["ab", "cd"])
+    batcher = Batcher(codec, 8)
+    batch = device_batch(batcher.collate(samples))
+    tx = make_optimizer(TrainConfig(batch_size=8))
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    # pretend the baseline got samples 1 and 3 wrong
+    base_errors = {"1", "3"}
+    out = error_diff_eval(
+        make_eval_step(model), state.variables(),
+        batches(samples, batcher, shuffle=False, drop_last=False),
+        codec, base_errors,
+    )
+    assert out["total"] == 2
+    assert 0 <= out["corrected"] <= 2
+    assert len(out["detail"]) == 2
+
+    labels = load_class_labels("assets/features", "coco")
+    assert labels[0] == "background"
+    assert tags_for([1, 0, 2], labels) == ["background", "person"]
