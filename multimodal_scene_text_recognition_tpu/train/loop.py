@@ -124,13 +124,24 @@ def train(
             depth=4,
         )
         t_last = time.perf_counter()
+        pending = []  # device-side metrics; fetched only at logging points
         for batch in epoch_iter:
             dev = device_batch(batch, device_put)
             state, metrics = train_step(state, dev, rng)
             iteration += 1
 
-            loss_avg.add(float(metrics["loss"]))
-            acc_avg.add(float(metrics["token_acc"]))
+            # keep metrics on device — a float() here would synchronise the
+            # dispatch queue every step and stall the chip
+            pending.append(metrics)
+
+            if (
+                iteration % log_every == 0
+                or iteration % cfg.train.validation_steps == 0
+            ):
+                for m in pending:
+                    loss_avg.add(float(m["loss"]))
+                    acc_avg.add(float(m["token_acc"]))
+                pending = []
 
             if verbose and iteration % log_every == 0:
                 dt = (time.perf_counter() - t_last) / log_every
