@@ -150,15 +150,30 @@ def cpu_baseline(cfg: ModelConfig) -> float:
     return value
 
 
+def _retry(fn, attempts=3, label=""):
+    """The axon tunnel occasionally drops a remote-compile response; retry."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            log(f"{label} attempt {i + 1}/{attempts} failed: {e}")
+            if i == attempts - 1:
+                raise
+            time.sleep(10)
+
+
 def main():
     cfg = ModelConfig()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    model, variables, batch = build(cfg)
-    dec = bench_decode(model, variables, batch)
+    model, variables, batch = _retry(lambda: build(cfg), label="build")
+    dec = _retry(lambda: bench_decode(model, variables, batch), label="decode")
     log(f"decode: {dec['crops_per_sec']:.1f} crops/s, "
         f"p50 {dec['p50_latency_ms']:.2f} ms, p90 {dec['p90_latency_ms']:.2f} ms")
-    tr = bench_train(model, variables, batch)
+    try:
+        tr = _retry(lambda: bench_train(model, variables, batch), label="train")
+    except Exception:
+        tr = {"crops_per_sec": float("nan"), "step_ms": float("nan")}
     log(f"train: {tr['crops_per_sec']:.1f} crops/s, step {tr['step_ms']:.2f} ms")
 
     try:
