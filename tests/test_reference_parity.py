@@ -1,0 +1,181 @@
+"""Full-model numerical parity against the actual reference implementation.
+
+Imports the reference package from /root/reference AT TEST TIME (read-only;
+nothing is copied), builds its torch Model on CPU, converts its state_dict
+through our `.pth` importer, and asserts the decoded outputs match.
+
+This is the checkpoint-parity north star (BASELINE.md): a converted
+reference checkpoint must reproduce the reference's decoded strings.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        config = importlib.import_module("config")
+        model_mod = importlib.import_module("model")
+
+        # compat shim: current torch's nn.TransformerEncoder passes
+        # is_causal to layers; the reference's custom layer predates it
+        enc_mod = importlib.import_module("modules.encoders")
+        orig_forward = enc_mod.TransformerEncoderLayer.forward
+
+        def patched(self, src, src_mask=None, src_key_padding_mask=None,
+                    is_causal=False):
+            return orig_forward(self, src, src_mask, src_key_padding_mask)
+
+        enc_mod.TransformerEncoderLayer.forward = patched
+        yield config, model_mod
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def make_inputs(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.random((B, 32, 100, 1), dtype=np.float32)
+    overlap = rng.integers(0, 100, (B, 15)).astype(np.int64)
+    scene = rng.integers(0, 100, (B, 52)).astype(np.int64)
+    ious = np.full((B, 52), -1000.0, np.float32)
+    return img, overlap, scene, ious
+
+
+def test_default_transformer_model_parity(ref_modules):
+    """Reference default config (TF encoder + TF decoder, linear overlap
+    semantics): greedy decodes must match after state-dict conversion."""
+    import torch
+
+    _, model_mod = ref_modules
+    torch.manual_seed(0)
+    ref = model_mod.Model()
+    ref.eval()
+
+    # DataParallel prefix like a saved reference checkpoint (model.py:115)
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+
+    from multimodal_scene_text_recognition_tpu.core.config import ModelConfig
+    from multimodal_scene_text_recognition_tpu.models.model import build_model
+    from multimodal_scene_text_recognition_tpu.train.torch_import import (
+        convert_state_dict,
+    )
+
+    cfg = ModelConfig(compute_dtype="float32", dropout=0.0)
+    ours = build_model(cfg)
+    img, overlap, scene, ious = make_inputs()
+    rng = jax.random.PRNGKey(0)
+    variables = ours.init(
+        {"params": rng, "dropout": rng},
+        jnp.asarray(img), jnp.zeros((2, 26), jnp.int32),
+        jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+        jnp.asarray(ious), train=True,
+    )
+    # keep the semantic embed too — full-parity conversion
+    new_vars, stats = convert_state_dict(sd, variables,
+                                         skip_semantic_embed=False)
+    assert stats["skipped"] == []
+    assert not [m for m in stats["missing"] if "semantic" not in m]
+
+    with torch.no_grad():
+        ref_logits = ref(
+            torch.from_numpy(img).permute(0, 3, 1, 2),  # NCHW
+            torch.zeros(2, 26, dtype=torch.long),
+            torch.from_numpy(overlap),
+            torch.from_numpy(scene),
+            torch.from_numpy(ious),
+            is_train=False,
+        ).numpy()  # [B, 25, C]
+
+    our_logits = np.asarray(
+        ours.apply(
+            {"params": new_vars["params"],
+             "batch_stats": new_vars["batch_stats"]},
+            jnp.asarray(img), None,
+            jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+            jnp.asarray(ious), train=False,
+        )
+    )
+
+    assert ref_logits.shape == our_logits.shape
+    np.testing.assert_array_equal(
+        ref_logits.argmax(-1), our_logits.argmax(-1)
+    )
+    np.testing.assert_allclose(ref_logits, our_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_lstm_model_parity(ref_modules):
+    """Reference LSTM encoder + LSTM-attention decoder variant."""
+    import torch
+
+    config, model_mod = ref_modules
+    old_enc, old_dec = config.ENCODER, config.DECODER
+    config.ENCODER, config.DECODER = "LSTM", "LSTM"
+    try:
+        torch.manual_seed(1)
+        ref = model_mod.Model()
+        ref.eval()
+        sd = {"module." + k: v for k, v in ref.state_dict().items()}
+
+        from multimodal_scene_text_recognition_tpu.core.config import ModelConfig
+        from multimodal_scene_text_recognition_tpu.models.model import build_model
+        from multimodal_scene_text_recognition_tpu.train.torch_import import (
+            convert_state_dict,
+        )
+
+        cfg = ModelConfig(encoder="lstm", decoder="lstm",
+                          compute_dtype="float32", dropout=0.0)
+        ours = build_model(cfg)
+        img, overlap, scene, ious = make_inputs(seed=1)
+        rng = jax.random.PRNGKey(0)
+        variables = ours.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(img), jnp.zeros((2, 26), jnp.int32),
+            jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+            jnp.asarray(ious), train=True,
+        )
+        new_vars, stats = convert_state_dict(sd, variables,
+                                             skip_semantic_embed=False)
+        assert not [m for m in stats["missing"] if "semantic" not in m]
+
+        with torch.no_grad():
+            ref_logits = ref(
+                torch.from_numpy(img).permute(0, 3, 1, 2),
+                torch.zeros(2, 26, dtype=torch.long),
+                torch.from_numpy(overlap),
+                torch.from_numpy(scene),
+                torch.from_numpy(ious),
+                is_train=False,
+            ).numpy()  # [B, 26, C]
+
+        our_logits = np.asarray(
+            ours.apply(
+                {"params": new_vars["params"],
+                 "batch_stats": new_vars["batch_stats"]},
+                jnp.asarray(img), None,
+                jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+                jnp.asarray(ious), train=False,
+            )
+        )
+        assert ref_logits.shape == our_logits.shape
+        np.testing.assert_array_equal(
+            ref_logits.argmax(-1), our_logits.argmax(-1)
+        )
+        np.testing.assert_allclose(ref_logits, our_logits, atol=2e-3, rtol=1e-3)
+    finally:
+        config.ENCODER, config.DECODER = old_enc, old_dec
