@@ -27,15 +27,19 @@ from .core.config import Config, apply_overrides
 def _load_dataset(cfg: Config, split_sizes=None):
     name = cfg.data.dataset
     if name == "synthetic":
-        from .data.synthetic import make_dataset
+        from .data.synthetic import make_dataset, random_vocab
 
         n_train = cfg.data.synthetic_train_size
         n_val = cfg.data.synthetic_val_size
         if split_sizes:
             n_train, n_val = split_sizes
+        vocab = None
+        if cfg.data.synthetic_vocab_size > 0:
+            vocab = random_vocab(cfg.data.synthetic_vocab_size,
+                                 seed=cfg.train.seed)
         return (
-            make_dataset(n_train, seed=cfg.train.seed),
-            make_dataset(n_val, seed=cfg.train.seed + 1),
+            make_dataset(n_train, seed=cfg.train.seed, vocab_words=vocab),
+            make_dataset(n_val, seed=cfg.train.seed + 1, vocab_words=vocab),
         )
     if name == "cocotext":
         from .data.cocotext import get_cocotext_datasets

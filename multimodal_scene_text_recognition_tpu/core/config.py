@@ -115,6 +115,10 @@ class TrainConfig:
     # (reference: train.py:154); exposed here as an optional schedule.
     lr_step_size: Optional[int] = None
     lr_gamma: float = 0.1
+    # linear LR warmup steps (0 = reference behaviour).  Needed for stable
+    # from-scratch training of the post-LN transformer stacks — the
+    # reference always fine-tunes from a pretrained checkpoint.
+    warmup_steps: int = 0
     seed: int = 999                     # (reference: config.py:16)
     validation_steps: int = 2000        # (reference: run.py:33)
     iteration_limit: Optional[int] = None
@@ -144,6 +148,9 @@ class DataConfig:
     # synthetic-set sizes for the self-contained train/bench path
     synthetic_train_size: int = 4096
     synthetic_val_size: int = 512
+    # 0 = open vocabulary (random strings); >0 = closed vocab of that many
+    # seeded random words (easier demo/benchmark task)
+    synthetic_vocab_size: int = 0
 
 
 @dataclass(frozen=True)

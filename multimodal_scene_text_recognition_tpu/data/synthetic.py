@@ -68,6 +68,21 @@ def _render(text: str, rng: np.random.Generator, h: int = 32, w: int = 100) -> n
     return np.clip(arr + noise, 0, 1)[..., None]
 
 
+def random_vocab(size: int, seed: int = 0, max_len: int = 10,
+                 chars: str = _CHARS_EASY) -> List[str]:
+    """Seeded closed vocabulary of random words."""
+    rng = np.random.default_rng(seed + 777)
+    out = []
+    seen = set()
+    while len(out) < size:
+        n = int(rng.integers(2, max_len + 1))
+        w = "".join(rng.choice(list(chars), n))
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
 def make_dataset(
     size: int,
     seed: int = 0,

@@ -37,8 +37,13 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int = 1):
             cfg.lr_step_size * (i + 1) * steps_per_epoch: cfg.lr_gamma
             for i in range(100)
         }
-        return optax.piecewise_constant_schedule(cfg.lr, boundaries)
-    return optax.constant_schedule(cfg.lr)
+        base = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    else:
+        base = optax.constant_schedule(cfg.lr)
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        return optax.join_schedules([warmup, base], [cfg.warmup_steps])
+    return base
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
