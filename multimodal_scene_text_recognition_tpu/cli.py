@@ -92,6 +92,39 @@ def _restore(cfg: Config, model, sample_batch):
     return state
 
 
+def _recognize(args):
+    """Folder-of-images inference (RawImageFolder + serving Recognizer)."""
+    cfg = Config()
+    if args.checkpoint:
+        cfg = apply_overrides(cfg, {"saved_model": args.checkpoint})
+    cfg = apply_overrides(cfg, args.set)
+
+    from .data.raw import RawImageFolder
+    from .eval.serve import Recognizer
+
+    model = _build(cfg)
+    folder = RawImageFolder(args.images, cfg.model.img_h, cfg.model.img_w)
+    if not len(folder):
+        print("no images found")
+        return 1
+
+    from .data.pipeline import Batcher, batches, device_batch
+    from .core.charset import AttnCodec
+
+    codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+    batcher = Batcher(codec, min(len(folder), 64))
+    sample = device_batch(
+        next(iter(batches(folder, batcher, shuffle=False, drop_last=False)))
+    )
+    state = _restore(cfg, model, sample)
+    rec = Recognizer(model, state.variables(), cfg)
+    crops = [folder[i].image for i in range(len(folder))]
+    texts = rec.recognize(crops, beam_size=args.beam)
+    for i, t in enumerate(texts):
+        print(f"{folder.paths[i]}\t{t}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mstr-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -118,8 +151,17 @@ def main(argv=None):
     p_eval.add_argument("--base-errors", required=False,
                         help="file of anno ids a baseline got wrong")
     p_eval.add_argument("--print-sem", action="store_true")
+    p_rec = sub.add_parser("recognize",
+                           help="recognize a folder of word-crop images")
+    common(p_rec)
+    p_rec.add_argument("images", help="directory of crop images")
+    p_rec.add_argument("--beam", type=int, default=0,
+                       help="beam size (0 = greedy)")
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "recognize":
+        return _recognize(args)
 
     cfg = Config()
     if args.experiment:

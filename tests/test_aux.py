@@ -176,3 +176,22 @@ def test_error_diff_eval(tmp_path):
     labels = load_class_labels("assets/features", "coco")
     assert labels[0] == "background"
     assert tags_for([1, 0, 2], labels) == ["background", "person"]
+
+
+def test_cli_recognize(tmp_path, capsys):
+    from PIL import Image
+
+    from multimodal_scene_text_recognition_tpu.cli import main
+
+    for name in ["a.png", "b.png"]:
+        Image.new("L", (100, 32), color=200).save(tmp_path / name)
+    rc = main([
+        "recognize", str(tmp_path),
+        "--set", "model.enc_layers=1", "--set", "model.dec_layers=1",
+        "--set", "model.ff_dim=64", "--set", "model.hidden_dim=64",
+        "--set", "model.embed_dim=32", "--set", "model.num_heads=4",
+        "--set", "model.compute_dtype=float32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "a.png" in out and "b.png" in out
