@@ -30,14 +30,38 @@ class Averager:
         return self.total / self.n if self.n else 0.0
 
 
-def word_accuracy(preds: Sequence[str], targets: Sequence[str]) -> float:
+def word_accuracy(
+    preds: Sequence[str],
+    targets: Sequence[str],
+    case_sensitive: bool = True,
+) -> float:
     """Exact-match word accuracy in percent, rounded to 5 dp
-    (reference: training_functions.py:186-202)."""
+    (reference: training_functions.py:186-202).  ``case_sensitive=False``
+    is the legacy loop's second metric (reference: train.py:123-124)."""
     assert len(preds) == len(targets)
     if not targets:
         return 0.0
+    if not case_sensitive:
+        preds = [p.lower() for p in preds]
+        targets = [t.lower() for t in targets]
     correct = sum(p == t for p, t in zip(preds, targets))
     return round(correct * 100 / len(targets), 5)
+
+
+def char_accuracy(preds: Sequence[str], targets: Sequence[str]) -> float:
+    """Mean per-word character accuracy (normalised prefix-free match) —
+    a finer progress signal than exact match (not in the reference)."""
+    assert len(preds) == len(targets)
+    if not targets:
+        return 0.0
+    total = 0.0
+    for p, t in zip(preds, targets):
+        if not t:
+            total += float(p == t)
+            continue
+        m = sum(a == b for a, b in zip(p, t))
+        total += m / max(len(p), len(t))
+    return round(total * 100 / len(targets), 5)
 
 
 @dataclass

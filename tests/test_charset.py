@@ -73,3 +73,16 @@ def test_ctc_codec_roundtrip():
     # collapse-repeats/blank semantics (reference utils.py:39-52)
     out = c.decode(np.array([[1, 1, 0, 2, 2, 3]]), [6])
     assert out == ["abc"]
+
+
+def test_word_accuracy_variants():
+    from multimodal_scene_text_recognition_tpu.core.metrics import (
+        char_accuracy,
+        word_accuracy,
+    )
+
+    assert word_accuracy(["ab", "CD"], ["ab", "cd"]) == 50.0
+    assert word_accuracy(["ab", "CD"], ["ab", "cd"], case_sensitive=False) == 100.0
+    assert char_accuracy(["abX", "ab"], ["abc", "ab"]) == round(
+        (2 / 3 + 1.0) * 100 / 2, 5
+    )
