@@ -179,3 +179,10 @@ def test_train_loss_decreases_one_step():
     params2 = jax.tree.map(lambda p, g: p - 0.01 * g, params, grads)
     l1 = loss_fn(params2)
     assert float(l1) < float(l0)
+
+
+def test_standard_norm_style_and_remat():
+    cfg = ModelConfig(**SMALL, encoder_norm_style="standard", remat=True)
+    out = init_and_run(cfg, train=True)
+    assert out.shape == (2, 26, 97)
+    assert init_and_run(cfg, train=False).shape == (2, 25, 97)
