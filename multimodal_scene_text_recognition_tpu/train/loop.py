@@ -118,15 +118,19 @@ def train(
             break
         if verbose:
             print(f"  - Epoch: {epoch + 1}")
+        # collate AND device_put happen in the prefetch thread so the
+        # host->device copy overlaps the previous step's compute
         epoch_iter = Prefetcher(
-            batches(train_samples, batcher, shuffle=True,
-                    seed=cfg.train.seed + epoch),
+            (
+                device_batch(b, device_put)
+                for b in batches(train_samples, batcher, shuffle=True,
+                                 seed=cfg.train.seed + epoch)
+            ),
             depth=4,
         )
         t_last = time.perf_counter()
         pending = []  # device-side metrics; fetched only at logging points
-        for batch in epoch_iter:
-            dev = device_batch(batch, device_put)
+        for dev in epoch_iter:
             state, metrics = train_step(state, dev, rng)
             iteration += 1
 
