@@ -162,7 +162,20 @@ def _retry(fn, attempts=3, label=""):
             time.sleep(10)
 
 
+def bench_serving(model, variables, cfg, batch_sizes=(1, 8, 32)):
+    """Small-batch p50 decode latency (serving profile)."""
+    out = {}
+    for b in batch_sizes:
+        batch = example_batch(cfg, batch=b)
+        res = bench_decode(model, variables, batch, iters=10)
+        out[b] = res["p50_latency_ms"]
+        log(f"serving B={b}: p50 {res['p50_latency_ms']:.2f} ms "
+            f"({res['crops_per_sec']:.0f} crops/s)")
+    return out
+
+
 def main():
+    serving = "--serving" in sys.argv
     cfg = ModelConfig()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
@@ -175,6 +188,9 @@ def main():
     except Exception:
         tr = {"crops_per_sec": float("nan"), "step_ms": float("nan")}
     log(f"train: {tr['crops_per_sec']:.1f} crops/s, step {tr['step_ms']:.2f} ms")
+
+    if serving:
+        bench_serving(model, variables, cfg)
 
     try:
         cpu = cpu_baseline(cfg)
