@@ -195,3 +195,19 @@ def test_cli_recognize(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "a.png" in out and "b.png" in out
+
+
+def test_image_utils(tmp_path):
+    from multimodal_scene_text_recognition_tpu.utils.images import (
+        array_to_image,
+        save_image,
+    )
+
+    arr = np.linspace(0, 1, 32 * 100, dtype=np.float32).reshape(32, 100, 1)
+    img = array_to_image(arr)
+    assert img.dtype == np.uint8 and img.shape == (32, 100)
+    # [-1, 1] normalised input
+    img2 = array_to_image(arr * 2 - 1)
+    np.testing.assert_allclose(img, img2, atol=1)
+    save_image(arr, str(tmp_path / "x.png"))
+    assert os.path.exists(tmp_path / "x.png")
