@@ -179,9 +179,12 @@ def main(argv=None):
     from .data.pipeline import Batcher, batches, device_batch
 
     batcher = Batcher(codec, cfg.train.batch_size)
+    # head slice via integer indexing (dataset classes are Sequence-like but
+    # not sliceable)
+    head = [val_samples[i]
+            for i in range(min(len(val_samples), cfg.train.batch_size))]
     sample = device_batch(
-        next(iter(batches(val_samples[: cfg.train.batch_size], batcher,
-                          shuffle=False, drop_last=False)))
+        next(iter(batches(head, batcher, shuffle=False, drop_last=False)))
     )
     state = _restore(cfg, model, sample)
 

@@ -73,9 +73,10 @@ def train(
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     if state is None:
+        head = [train_samples[i]
+                for i in range(min(len(train_samples), cfg.train.batch_size))]
         sample_batch = next(
-            iter(batches(train_samples[: cfg.train.batch_size], batcher,
-                         shuffle=False, drop_last=False))
+            iter(batches(head, batcher, shuffle=False, drop_last=False))
         )
         dev = device_batch(sample_batch, device_put)
         state = create_train_state(model, tx, dev, rng)
