@@ -30,6 +30,20 @@ except Exception:  # pragma: no cover
 _CHARS_EASY = string.ascii_letters + string.digits
 
 
+def _font(size: int):
+    """Font objects cached by size — load_default(size=..) re-parses the
+    font file every call and dominates render time otherwise."""
+    if size not in _FONT_CACHE:
+        try:
+            _FONT_CACHE[size] = ImageFont.load_default(size=size)
+        except TypeError:  # older PIL: fixed-size bitmap font
+            _FONT_CACHE[size] = ImageFont.load_default()
+    return _FONT_CACHE[size]
+
+
+_FONT_CACHE: dict = {}
+
+
 @dataclass
 class SyntheticSample:
     anno_id: int
@@ -55,10 +69,7 @@ def _render(text: str, rng: np.random.Generator, h: int = 32, w: int = 100) -> n
     fg = int(rng.integers(0, 90))
     img = Image.new("L", (big_w, big_h), color=bg)
     draw = ImageDraw.Draw(img)
-    try:
-        font = ImageFont.load_default(size=int(rng.integers(28, 40)))
-    except TypeError:  # older PIL: fixed-size bitmap font
-        font = ImageFont.load_default()
+    font = _font(int(rng.integers(28, 40)))
     x = int(rng.integers(0, 12))
     y = int(rng.integers(0, 10))
     draw.text((x, y), text, fill=fg, font=font)
@@ -90,9 +101,14 @@ def make_dataset(
     chars: str = _CHARS_EASY,
     vocab_words: Optional[Sequence[str]] = None,
     num_obj_classes: int = 2000,
+    workers: int = 8,
 ) -> List[SyntheticSample]:
+    """Deterministic synthetic set; rendering is thread-parallel (PIL
+    releases the GIL in draw/resize) with one child RNG per sample so the
+    output is independent of worker count."""
     rng = np.random.default_rng(seed)
-    samples = []
+
+    metas = []
     for i in range(size):
         if vocab_words is not None:
             label = vocab_words[int(rng.integers(0, len(vocab_words)))]
@@ -105,15 +121,25 @@ def make_dataset(
         scene = np.zeros(52, np.int32)
         n_sc = int(rng.integers(1, 20))
         scene[:n_sc] = rng.integers(1, num_obj_classes, n_sc)
-        ious = np.full(52, -1000.0, np.float32)
-        samples.append(
-            SyntheticSample(
-                anno_id=i,
-                image=_render(label, rng),
-                label=label,
-                overlap=overlap,
-                scene=scene,
-                ious=ious,
-            )
+        metas.append((i, label, overlap, scene))
+
+    render_rngs = rng.spawn(size)
+
+    def build(args):
+        (i, label, overlap, scene), r = args
+        return SyntheticSample(
+            anno_id=i,
+            image=_render(label, r),
+            label=label,
+            overlap=overlap,
+            scene=scene,
+            ious=np.full(52, -1000.0, np.float32),
         )
-    return samples
+
+    work = list(zip(metas, render_rngs))
+    if workers > 1 and size >= 64:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(build, work))
+    return [build(w) for w in work]

@@ -106,7 +106,7 @@ def train(
     val_acc = run_validation(state)
     log.append(iter=0, cost_avg="n/a", val_acc=val_acc, train_acc="n/a")
     if verbose:
-        print(f"  - initial val acc: {val_acc}%")
+        print(f"  - initial val acc: {val_acc}%", flush=True)
 
     best_accuracy = cfg.train.model_save_threshold
     loss_avg = Averager()
@@ -118,7 +118,7 @@ def train(
         if stop:
             break
         if verbose:
-            print(f"  - Epoch: {epoch + 1}")
+            print(f"  - Epoch: {epoch + 1}", flush=True)
         # collate AND device_put happen in the prefetch thread so the
         # host->device copy overlaps the previous step's compute
         epoch_iter = Prefetcher(
@@ -154,14 +154,15 @@ def train(
                 print(
                     f"    iter {iteration}: loss {loss_avg.val():.4f} "
                     f"token_acc {acc_avg.val():.3f} "
-                    f"({cfg.train.batch_size / dt:.0f} crops/s)"
+                    f"({cfg.train.batch_size / dt:.0f} crops/s)",
+                    flush=True,
                 )
 
             if iteration % cfg.train.validation_steps == 0:
                 val_acc = run_validation(state)
                 if verbose:
                     print(f"  - iter {iteration}: {val_acc}% | "
-                          f"Best: {best_accuracy}%")
+                          f"Best: {best_accuracy}%", flush=True)
                 if val_acc > best_accuracy:
                     best_accuracy = val_acc
                     log.append(iter=iteration, cost_avg=loss_avg.val(),
