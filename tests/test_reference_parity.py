@@ -119,6 +119,99 @@ def test_default_transformer_model_parity(ref_modules):
     np.testing.assert_allclose(ref_logits, our_logits, atol=2e-3, rtol=1e-3)
 
 
+def _run_parity(ref_modules, ref_flags, our_kw, seed=2):
+    """Build the reference Model with ``ref_flags`` flipped, convert its
+    state dict, assert identical greedy decodes + close logits."""
+    import torch
+
+    config, model_mod = ref_modules
+    saved = {k: getattr(config, k) for k in ref_flags}
+    for k in ref_flags:
+        setattr(config, k, True)
+    try:
+        torch.manual_seed(seed)
+        ref = model_mod.Model()
+        ref.eval()
+        sd = {"module." + k: v for k, v in ref.state_dict().items()}
+
+        from multimodal_scene_text_recognition_tpu.core.config import ModelConfig
+        from multimodal_scene_text_recognition_tpu.models.model import build_model
+        from multimodal_scene_text_recognition_tpu.train.torch_import import (
+            convert_state_dict,
+        )
+
+        cfg = ModelConfig(compute_dtype="float32", dropout=0.0, **our_kw)
+        ours = build_model(cfg)
+        img, overlap, scene, ious = make_inputs(seed=seed)
+        rng = jax.random.PRNGKey(0)
+        variables = ours.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(img), jnp.zeros((2, 26), jnp.int32),
+            jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+            jnp.asarray(ious), train=True,
+        )
+        new_vars, stats = convert_state_dict(sd, variables,
+                                             skip_semantic_embed=False)
+        # every fusion param must come from the checkpoint — no silent
+        # random init (round-1 gap: fusion keys fell through to `missing`)
+        assert not [m for m in stats["missing"] if "semantic" not in m], (
+            stats["missing"]
+        )
+        assert stats["unused_torch_keys"] == [], stats["unused_torch_keys"]
+
+        with torch.no_grad():
+            ref_logits = ref(
+                torch.from_numpy(img).permute(0, 3, 1, 2),
+                torch.zeros(2, 26, dtype=torch.long),
+                torch.from_numpy(overlap),
+                torch.from_numpy(scene),
+                torch.from_numpy(ious),
+                is_train=False,
+            ).numpy()
+
+        our_logits = np.asarray(
+            ours.apply(
+                {"params": new_vars["params"],
+                 "batch_stats": new_vars["batch_stats"]},
+                jnp.asarray(img), None,
+                jnp.asarray(overlap, jnp.int32), jnp.asarray(scene, jnp.int32),
+                jnp.asarray(ious), train=False,
+            )
+        )
+        assert ref_logits.shape == our_logits.shape
+        np.testing.assert_array_equal(
+            ref_logits.argmax(-1), our_logits.argmax(-1)
+        )
+        np.testing.assert_allclose(ref_logits, our_logits, atol=2e-3, rtol=1e-3)
+    finally:
+        for k, v in saved.items():
+            setattr(config, k, v)
+
+
+def test_pre_encoder_mlp_parity(ref_modules):
+    """PRE_ENCODER_MLP fusion path (reference: encoders.py:83-113, 126-133)."""
+    _run_parity(ref_modules, ["PRE_ENCODER_MLP"],
+                dict(pre_encoder_mlp=True), seed=2)
+
+
+def test_pre_decoder_mlp_parity(ref_modules):
+    """PRE_DECODER_MLP fusion path (reference: decoders.py:121-123, 190-193)."""
+    _run_parity(ref_modules, ["PRE_DECODER_MLP"],
+                dict(pre_decoder_mlp=True), seed=3)
+
+
+def test_cls_decoder_init_parity(ref_modules):
+    """CLS_DECODER_INIT fusion path (reference: decoders.py:125-130, 241-243)."""
+    _run_parity(ref_modules, ["CLS_DECODER_INIT"],
+                dict(cls_decoder_init=True), seed=4)
+
+
+def test_post_decoder_mlp_parity(ref_modules):
+    """POST_DECODER_MLP logit fusion (reference: decoders.py:133-137, 267-273)."""
+    _run_parity(ref_modules, ["POST_DECODER_MLP"],
+                dict(post_decoder_mlp=True), seed=5)
+
+
 def test_lstm_model_parity(ref_modules):
     """Reference LSTM encoder + LSTM-attention decoder variant."""
     import torch

@@ -133,6 +133,50 @@ def test_lstm_paths_covered():
     )
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(encoder="lstm", decoder="lstm"),
+        dict(decoder="linear"),
+        dict(pre_encoder_mlp=True),
+        dict(pre_decoder_mlp=True),
+        dict(cls_decoder_init=True),
+        dict(post_decoder_mlp=True),
+        dict(
+            pre_encoder_mlp=True,
+            pre_decoder_mlp=True,
+            cls_decoder_init=True,
+            multihead_pre_target=True,
+            multihead_pre_memory=True,
+            multihead_post_memory=True,
+            post_decoder_mlp=True,
+        ),
+        dict(semantic_vector="scene"),
+        dict(semantic_vector="combined"),
+    ],
+)
+def test_zero_unmapped_params_per_combo(kw):
+    """Every param of every loadable config combo must have a torch-key
+    mapping (reference loads all matching keys via strict=False,
+    model.py:118-123 — incl. the fusion MLPs/MHAs, decoders.py:121-137,
+    370-392; encoders.py:85-90)."""
+    cfg = ModelConfig(
+        compute_dtype="float32", enc_layers=1, dec_layers=1, **kw
+    )
+    variables = init_variables(cfg)
+    unmapped = []
+    for collection in ("params", "batch_stats"):
+        if collection not in variables:
+            continue
+        for path, _ in _walk(variables[collection]):
+            if torch_key_for(collection, tuple(path)) is None:
+                unmapped.append(collection + "/" + "/".join(path))
+    # Bert/Oscar embedder internals aside, the semantic 'combine' Linear and
+    # embeds are mapped; everything else must be too.
+    assert unmapped == [], unmapped
+
+
 def test_shape_mismatch_raises(variables):
     sd = {"module.decoder.hid_to_emb.weight": np.zeros((7, 7), np.float32)}
     with pytest.raises(ValueError, match="shape mismatch"):
