@@ -33,9 +33,8 @@ def get_model(saved_model: Optional[str] = None, cfg: Optional[Config] = None) -
     """Build the configured model; optionally load an orbax checkpoint or a
     reference `.pth` (reference: model.py:109-128)."""
     import jax
+    import jax.numpy as jnp
 
-    from .data.pipeline import Batcher, batches, device_batch
-    from .data.synthetic import make_dataset
     from .models.model import build_model
     from .train.state import create_train_state, make_optimizer
 
@@ -44,12 +43,17 @@ def get_model(saved_model: Optional[str] = None, cfg: Optional[Config] = None) -
         cfg = Config(**{**cfg.__dict__, "saved_model": saved_model})
     model = build_model(cfg.model)
 
-    codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
-    batcher = Batcher(codec, min(cfg.train.batch_size, 8))
-    sample = device_batch(
-        next(iter(batches(make_dataset(8, seed=0), batcher,
-                          shuffle=False, drop_last=False)))
-    )
+    # shape-only init batch straight from config — no renderer/font/data
+    # dependency just to initialise parameters
+    m = cfg.model
+    B = min(cfg.train.batch_size, 8)
+    sample = {
+        "image": jnp.zeros((B, m.img_h, m.img_w, 1), jnp.float32),
+        "text": jnp.zeros((B, m.max_text_length + 2), jnp.int32),
+        "overlap": jnp.zeros((B, m.max_overlap_objs), jnp.int32),
+        "scene": jnp.zeros((B, m.max_scene_objs), jnp.int32),
+        "ious": jnp.full((B, m.max_scene_objs), -1000.0, jnp.float32),
+    }
     rng = jax.random.PRNGKey(cfg.train.seed)
     tx = make_optimizer(cfg.train)
     state = create_train_state(model, tx, sample, rng)

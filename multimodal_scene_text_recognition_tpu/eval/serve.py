@@ -62,19 +62,35 @@ class Recognizer:
         m = self.cfg.model
         img = np.zeros((B, m.img_h, m.img_w, 1), np.float32)
         for i, c in enumerate(crops):
-            c = np.asarray(c, np.float32)
+            c = np.asarray(c)
+            was_uint8 = c.dtype == np.uint8
+            c = c.astype(np.float32)
             if c.max() > 1.5:  # uint8-range input
                 c = c / 255.0
             if c.ndim == 2:
                 c = c[..., None]
             if c.shape[:2] != (m.img_h, m.img_w):
-                from ..utils.native import crop_resize_gray_batch
+                if was_uint8:
+                    # exact roundtrip for byte inputs; native batch kernel
+                    from ..utils.native import crop_resize_gray_batch
 
-                c = crop_resize_gray_batch(
-                    [np.ascontiguousarray((c[..., 0] * 255).astype(np.uint8))],
-                    np.asarray([[0, 0, c.shape[1], c.shape[0]]], np.float32),
-                    m.img_h, m.img_w,
-                )[0]
+                    c = crop_resize_gray_batch(
+                        [np.ascontiguousarray(
+                            (c[..., 0] * 255).astype(np.uint8))],
+                        np.asarray([[0, 0, c.shape[1], c.shape[0]]],
+                                   np.float32),
+                        m.img_h, m.img_w,
+                    )[0]
+                else:
+                    # float input: precision-preserving PIL mode-F bicubic,
+                    # the reference's interpolation (dataset.py:256-266)
+                    from PIL import Image
+
+                    im = Image.fromarray(c[..., 0], mode="F")
+                    c = np.asarray(
+                        im.resize((m.img_w, m.img_h), Image.BICUBIC),
+                        np.float32,
+                    )[..., None]
             img[i] = c
         return {
             "image": jnp.asarray(img),

@@ -488,9 +488,18 @@ class TransformerDecoder(nn.Module):
         [B*K] batch; caches are gathered by beam origin each step.  Finished
         beams ([s] emitted) are frozen by forcing a zero-cost [s]
         continuation.  ``post_decoder_mlp`` logit fusion is a sequence-level
-        transform and is not applied on the beam path.
+        transform incompatible with per-step beam scoring — raises rather
+        than silently decoding without it.
         """
         from ..core.charset import EOS_ID
+
+        if self.post_decoder_mlp:
+            raise NotImplementedError(
+                "beam_decode does not support post_decoder_mlp (its logit "
+                "fusion is a whole-sequence transform applied after decoding"
+                " — reference decoders.py:267-273); use greedy decode for "
+                "this config"
+            )
 
         no_drop = lambda x, site: x
         memory = self._memory(enc_out, semantics, no_drop)

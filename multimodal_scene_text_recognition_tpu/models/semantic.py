@@ -81,41 +81,59 @@ class RandomEmbedding(nn.Module):
 
 
 class BertEmbedding(nn.Module):
-    """Class-tag embeddings through a small transformer text encoder.
+    """Class-tag embeddings through a DistilBERT-shaped text encoder.
 
     The reference's Bert_Embedding (semantic_vectors.py:55-70) runs
-    DistilBERT over bert-tokenized tag sequences (and is broken as written:
-    undefined ``self.config`` at :63).  A TPU rebuild cannot assume hub
-    weights are downloadable (zero egress), so this is a from-scratch
-    DistilBERT-shaped encoder (learned token+position embeddings, N pre-LN
-    transformer layers) over the same token inputs; hub weights can be
-    ported into it offline via the checkpoint importer.
+    pretrained DistilBERT over bert-tokenized tag sequences (and is broken
+    as written: undefined ``self.config`` at :63).  A zero-egress build
+    cannot download hub weights, so this is a from-scratch encoder with the
+    EXACT DistilBERT architecture — post-LN layers, separate q/k/v/out
+    projections, erf-exact GELU, eps-1e-12 norms — so that a locally
+    available DistilBERT state dict imports via
+    ``train.torch_import.import_distilbert`` and reproduces the torch
+    hidden states (tested in tests/test_reference_parity.py).
+
+    The final ``proj`` (768 -> embed_dim) is ours alone: the reference's
+    Bert path has no dimension adapter because it never ran.
     """
 
     vocab_size: int = 30522          # bert-base-uncased vocab
     embed_dim: int = 256
     model_dim: int = 768
-    num_layers: int = 4
+    num_layers: int = 6              # DistilBertConfig.n_layers
     num_heads: int = 12
-    max_len: int = 64
+    ff_dim: int = 3072
+    max_positions: int = 512         # DistilBertConfig.max_position_embeddings
 
     @nn.compact
     def __call__(self, overlap, scene, ious, rngs=None):
         tokens = overlap  # bert-token ids [B, T]
         B, T = tokens.shape
+        H = self.num_heads
+        hd = self.model_dim // H
+
         x = nn.Embed(self.vocab_size, self.model_dim, name="tok")(tokens)
         pos = jnp.arange(T)[None, :]
-        x = x + nn.Embed(self.max_len, self.model_dim, name="pos")(pos)
+        x = x + nn.Embed(self.max_positions, self.model_dim, name="pos")(pos)
+        x = nn.LayerNorm(epsilon=1e-12, name="embed_ln")(x)
+
+        def heads(t):  # [B, T, D] -> [B, H, T, hd]
+            return t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
         for i in range(self.num_layers):
-            h = nn.LayerNorm(epsilon=1e-12, name=f"ln1_{i}")(x)
-            h = nn.SelfAttention(num_heads=self.num_heads, name=f"attn_{i}")(h)
-            x = x + h
-            h = nn.LayerNorm(epsilon=1e-12, name=f"ln2_{i}")(x)
-            h = nn.Dense(4 * self.model_dim, name=f"ff1_{i}")(h)
-            h = nn.gelu(h)
+            q = heads(nn.Dense(self.model_dim, name=f"q_lin{i}")(x))
+            k = heads(nn.Dense(self.model_dim, name=f"k_lin{i}")(x))
+            v = heads(nn.Dense(self.model_dim, name=f"v_lin{i}")(x))
+            a = jax.nn.softmax(
+                (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(float(hd)), axis=-1
+            )
+            o = (a @ v).transpose(0, 2, 1, 3).reshape(B, T, self.model_dim)
+            o = nn.Dense(self.model_dim, name=f"out_lin{i}")(o)
+            x = nn.LayerNorm(epsilon=1e-12, name=f"sa_ln{i}")(x + o)
+            h = nn.Dense(self.ff_dim, name=f"ff1_{i}")(x)
+            h = nn.gelu(h, approximate=False)  # transformers' erf-exact gelu
             h = nn.Dense(self.model_dim, name=f"ff2_{i}")(h)
-            x = x + h
-        x = nn.LayerNorm(epsilon=1e-12, name=f"ln_out")(x)
+            x = nn.LayerNorm(epsilon=1e-12, name=f"out_ln{i}")(x + h)
         return nn.Dense(self.embed_dim, name="proj")(x)
 
 

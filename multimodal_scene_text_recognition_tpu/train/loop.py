@@ -44,14 +44,21 @@ class CSVLog:
     def __init__(self, path: str):
         self.path = path
         self.rows: List[Dict] = []
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._has_header = (
+            os.path.exists(path) and os.path.getsize(path) > 0
+        )
 
     def append(self, **row):
-        self.rows.append({c: row.get(c, "n/a") for c in self.COLUMNS})
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w", newline="") as f:
+        r = {c: row.get(c, "n/a") for c in self.COLUMNS}
+        self.rows.append(r)
+        # true append — O(1) per event, resume-safe (no whole-file rewrite)
+        with open(self.path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self.COLUMNS)
-            w.writeheader()
-            w.writerows(self.rows)
+            if not self._has_header:
+                w.writeheader()
+                self._has_header = True
+            w.writerow(r)
 
 
 def train(

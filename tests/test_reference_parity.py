@@ -212,6 +212,53 @@ def test_post_decoder_mlp_parity(ref_modules):
                 dict(post_decoder_mlp=True), seed=5)
 
 
+def test_distilbert_embedder_import_parity():
+    """Offline DistilBERT weight import (reference: semantic_vectors.py:55-70
+    wraps pretrained DistilBERT; zero-egress here, so the torch model is
+    built locally from config — same architecture, random weights).  Our
+    BertEmbedding must reproduce the torch hidden states bit-close after
+    ``import_distilbert``."""
+    import torch
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(0)
+    bert = DistilBertModel(DistilBertConfig()).eval()
+
+    from multimodal_scene_text_recognition_tpu.models.semantic import (
+        BertEmbedding,
+    )
+    from multimodal_scene_text_recognition_tpu.train.torch_import import (
+        import_distilbert,
+    )
+
+    B, T = 2, 12
+    rng_np = np.random.default_rng(0)
+    tokens = rng_np.integers(0, 30522, (B, T))
+
+    module = BertEmbedding()
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tokens, jnp.int32), None, None,
+    )
+    new_vars, stats = import_distilbert(bert.state_dict(), variables)
+    # every DistilBERT key must land (nothing silently dropped)
+    assert stats["unused_torch_keys"] == [], stats["unused_torch_keys"]
+    # only our 768->embed_dim proj stays at init
+    assert all("proj" in m for m in stats["missing"]), stats["missing"]
+
+    with torch.no_grad():
+        hidden = bert(torch.from_numpy(tokens)).last_hidden_state.numpy()
+    pw = np.asarray(new_vars["params"]["proj"]["kernel"])
+    pb = np.asarray(new_vars["params"]["proj"]["bias"])
+    expected = hidden @ pw + pb
+
+    ours = np.asarray(
+        module.apply({"params": new_vars["params"]},
+                     jnp.asarray(tokens, jnp.int32), None, None)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-4, rtol=1e-4)
+
+
 def test_lstm_model_parity(ref_modules):
     """Reference LSTM encoder + LSTM-attention decoder variant."""
     import torch
