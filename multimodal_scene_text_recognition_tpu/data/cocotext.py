@@ -140,21 +140,43 @@ def ann_rects(anns: Sequence[Dict]) -> List[Tuple[float, float, float, float]]:
     return [tuple(a["bbox"]) for a in anns]
 
 
-def show_annotations(anns: Sequence[Dict], ax=None, show_text: bool = True):
-    """Render annotation boxes (+ transcriptions) on a matplotlib axis
-    (reference: coco_text.py:170-198).  matplotlib is imported lazily so the
+def show_annotations(anns: Sequence[Dict], ax=None, show_text: bool = True,
+                     show_mask: bool = False):
+    """Render annotations on a matplotlib axis (reference:
+    coco_text.py:170-198 showAnns): per-annotation random-colour filled
+    patches — bbox rectangles, or the 'mask' polygon outline when
+    ``show_mask`` (reference:183-189).  matplotlib is imported lazily so the
     data path never depends on it."""
     import matplotlib.pyplot as plt
-    from matplotlib.patches import Rectangle
+    from matplotlib.collections import PatchCollection
+    from matplotlib.patches import PathPatch, Rectangle
+    from matplotlib.path import Path
 
+    if not len(anns):
+        return None
     ax = ax or plt.gca()
+    rng = np.random.default_rng(0)
+    patches, colors = [], []
     for a in anns:
-        x, y, w, h = a["bbox"]
-        ax.add_patch(
-            Rectangle((x, y), w, h, fill=False, edgecolor="lime", linewidth=1.5)
-        )
+        c = rng.random(3).tolist()
+        if show_mask:
+            # flat [x0,y0,x1,y1,...] polygon -> closed Path (reference:184-188)
+            verts = list(zip(*[iter(a["mask"])] * 2)) + [(0, 0)]
+            codes = ([Path.MOVETO] + [Path.LINETO] * (len(verts) - 2)
+                     + [Path.CLOSEPOLY])
+            patches.append(PathPatch(Path(verts, codes), facecolor="none"))
+            tx, ty = verts[0]
+        else:
+            x, y, w, h = a["bbox"]
+            patches.append(Rectangle((x, y), w, h, alpha=0.4))
+            tx, ty = x, y
+        colors.append(c)
         if show_text and a.get("utf8_string"):
-            ax.text(x, y - 2, a["utf8_string"], color="lime", fontsize=8)
+            ax.annotate(a["utf8_string"], (tx, ty - 4), color=c)
+    ax.add_collection(PatchCollection(
+        patches, facecolors=colors, edgecolors=(0, 0, 0, 1),
+        linewidths=3, alpha=0.4,
+    ))
     return ax
 
 

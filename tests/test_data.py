@@ -132,6 +132,43 @@ def test_cocotext_index_queries(tmp_path):
     assert idx.load_imgs([2])[0]["file_name"] == "img2.jpg"
 
 
+def test_show_annotations_bbox_and_mask(tmp_path):
+    """showAnns parity: filled bbox patches and mask-polygon rendering
+    (reference: coco_text.py:170-198)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from multimodal_scene_text_recognition_tpu.data.cocotext import (
+        show_annotations,
+    )
+
+    anns = [
+        {"bbox": [0, 0, 10, 10], "utf8_string": "hello",
+         "mask": [0, 0, 10, 0, 10, 10, 0, 10]},
+        {"bbox": [5, 5, 4, 4], "utf8_string": "xx",
+         "mask": [5, 5, 9, 5, 9, 9]},
+    ]
+    fig, ax = plt.subplots()
+    out = show_annotations(anns, ax=ax)
+    assert out is ax
+    assert len(ax.collections) == 1          # one PatchCollection
+    assert len(ax.texts) == 2                # per-ann transcription labels
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    show_annotations(anns, ax=ax, show_mask=True)
+    paths = ax.collections[0].get_paths()
+    assert len(paths) == 2
+    # first polygon: 4 mask vertices + the reference's synthetic (0,0)
+    # closepoly vertex (coco_text.py:184)
+    assert len(paths[0].vertices) == 5
+    plt.close(fig)
+
+    assert show_annotations([], ax=None) is None
+
+
 def test_cocotext_load_results(tmp_path):
     api, _ = make_cocotext_json(tmp_path)
     idx = COCOTextIndex(api)
