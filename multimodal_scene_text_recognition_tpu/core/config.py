@@ -73,6 +73,11 @@ class ModelConfig:
     multihead_post_memory: bool = False
     post_decoder_mlp: bool = False
 
+    # greedy decode exits once every sequence has emitted [s] (see
+    # models.decoders.TransformerDecoder.early_stop) — ~3x fewer
+    # autoregressive steps on trained models; identical [s]-pruned strings.
+    decode_early_stop: bool = False
+
     # --- text geometry (reference: config.py:19-20) ---
     max_text_length: int = 25
     chars: str = DEFAULT_CHARS

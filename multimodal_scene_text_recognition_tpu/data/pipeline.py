@@ -19,11 +19,106 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from ..core.charset import AttnCodec
+
+
+def quantize_images(image: np.ndarray) -> np.ndarray:
+    """f32 [0,1] -> uint8 for the wire.
+
+    Crops come from uint8 sources (PIL / JPEG), so the round trip is
+    lossless for real data; shipping uint8 is 4x less host->device traffic
+    than f32 — the training loop's actual bottleneck on a tunneled or
+    PCIe-attached chip.  The device side converts back in the jitted step
+    (train.steps.prep_image).
+    """
+    if image.dtype == np.uint8:
+        return image
+    return np.clip(np.rint(image * 255.0), 0, 255).astype(np.uint8)
+
+
+class PackedSamples:
+    """Whole dataset pre-collated into contiguous arrays.
+
+    Replaces per-batch Python collation (list-of-samples -> np.stack x5 +
+    codec.encode, ~ms of single-core host time per batch) with one upfront
+    pack; a batch is then five C-level fancy-index gathers.  Images are
+    stored uint8 (4x smaller than f32 — matters both for host RAM on large
+    corpora and for host->device transfer).
+    """
+
+    def __init__(self, image, text, overlap, scene, ious, anno_id,
+                 labels: List[str]):
+        self.image = image
+        self.text = text
+        self.overlap = overlap
+        self.scene = scene
+        self.ious = ious
+        self.anno_id = anno_id
+        self.labels = labels
+
+    @classmethod
+    def from_samples(cls, samples: Sequence, codec: AttnCodec) -> "PackedSamples":
+        labels = [s.label for s in samples]
+        text, _ = codec.encode(labels)
+        return cls(
+            image=quantize_images(np.stack([s.image for s in samples])),
+            text=np.asarray(text, np.int32),
+            overlap=np.stack([s.overlap for s in samples]).astype(np.int32),
+            scene=np.stack([s.scene for s in samples]).astype(np.int32),
+            ious=np.stack([s.ious for s in samples]).astype(np.float32),
+            anno_id=np.asarray([s.anno_id for s in samples], np.int64),
+            labels=labels,
+        )
+
+    def __len__(self):
+        return len(self.labels)
+
+    def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "image": self.image[idx],
+            "text": self.text[idx],
+            "overlap": self.overlap[idx],
+            "scene": self.scene[idx],
+            "ious": self.ious[idx],
+            "anno_id": self.anno_id[idx],
+            "labels": [self.labels[j] for j in idx],
+        }
+
+
+def packed_batches(
+    packed: PackedSamples,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epochs: int = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch iterator over a :class:`PackedSamples`; short final batches are
+    zero-padded to ``batch_size`` with a 'valid' mask (eval path)."""
+    rng = np.random.default_rng(seed)
+    B = batch_size
+    n = len(packed)
+    for _ in range(epochs):
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, n, B):
+            idx = order[i : i + B]
+            if len(idx) < B:
+                if drop_last:
+                    continue
+                short = len(idx)
+                batch = packed.take(np.concatenate(
+                    [idx, np.zeros(B - short, np.int64)]))
+                batch["labels"] = batch["labels"][:short] + [""] * (B - short)
+                batch["valid"] = np.arange(B) < short
+                yield batch
+            else:
+                yield packed.take(idx)
 
 
 class Batcher:

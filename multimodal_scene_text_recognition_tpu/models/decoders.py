@@ -223,6 +223,13 @@ class TransformerDecoder(nn.Module):
     # compute dtype for the decode scan (params stay f32; bf16 roughly
     # halves per-step matmul time on the MXU). Training stays f32.
     dtype: str = "float32"
+    # greedy decode exits once every sequence has emitted [s] (lax.while_loop
+    # instead of a fixed 25-step lax.scan).  On a trained model words average
+    # ~5-7 chars, so this cuts the autoregressive steps ~3x; [s]-pruned
+    # decoded strings are identical to the full scan (positions after the
+    # stop token are never read by the codec).  Off by default: the fixed
+    # scan is the parity path and faster for random-init benchmarking.
+    early_stop: bool = False
 
     def setup(self):
         E = self.d_model
@@ -458,8 +465,7 @@ class TransformerDecoder(nn.Module):
         cls0 = self._sem_cls(memory, sem) if self.cls_decoder_init else None
         step_all, make_caches = self._make_stepper(memory, sem)
 
-        def body(carry, t):
-            prev_id, caches = carry
+        def step(prev_id, t, caches):
             x = jnp.take(emb_table, prev_id, axis=0)[:, None, :]  # [B, 1, E]
             if cls0 is not None:
                 # position 0 uses the semantic CLS embedding (reference:241-243)
@@ -467,12 +473,45 @@ class TransformerDecoder(nn.Module):
             x = x + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None, 0:1]
             logits_t, caches = step_all(x, t, caches)
             next_id = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
-            return (next_id, caches), logits_t
+            return next_id, logits_t, caches
 
         init_id = jnp.full((B,), GO_ID, jnp.int32)
-        (_, _), logits = jax.lax.scan(
-            body, (init_id, make_caches()), jnp.arange(T, dtype=jnp.int32)
-        )
+
+        if self.early_stop:
+            from ..core.charset import EOS_ID
+
+            C = self.emb.num_embeddings
+
+            def cond(carry):
+                t, _, done, _, _ = carry
+                return (t < T) & ~jnp.all(done)
+
+            def wbody(carry):
+                t, prev_id, done, buf, caches = carry
+                next_id, logits_t, caches = step(prev_id, t, caches)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, logits_t[None], (t, 0, 0))
+                done = done | (next_id == EOS_ID)
+                return (t + 1, next_id, done, buf, caches)
+
+            # unwritten tail positions stay argmax=[s]; the codec prunes at
+            # the first [s] so decoded strings match the full scan exactly
+            buf0 = jnp.zeros((T, B, C), jnp.float32).at[:, :, EOS_ID].set(1.0)
+            _, _, _, logits, _ = jax.lax.while_loop(
+                cond,
+                wbody,
+                (jnp.int32(0), init_id, jnp.zeros((B,), bool), buf0,
+                 make_caches()),
+            )
+        else:
+            def body(carry, t):
+                prev_id, caches = carry
+                next_id, logits_t, caches = step(prev_id, t, caches)
+                return (next_id, caches), logits_t
+
+            (_, _), logits = jax.lax.scan(
+                body, (init_id, make_caches()), jnp.arange(T, dtype=jnp.int32)
+            )
         logits = jnp.swapaxes(logits, 0, 1)  # [B, T, C]
         if self.post_decoder_mlp:
             logits = self._post_decoder(logits, sem)

@@ -104,6 +104,7 @@ class SceneTextModel(nn.Module):
                 multihead_post_memory=cfg.multihead_post_memory,
                 post_decoder_mlp=cfg.post_decoder_mlp,
                 dtype=cfg.compute_dtype,
+                early_stop=cfg.decode_early_stop,
                 name="decoder",
             )
         elif cfg.decoder == "linear":

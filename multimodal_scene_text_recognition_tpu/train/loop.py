@@ -28,7 +28,12 @@ import numpy as np
 from ..core.charset import AttnCodec
 from ..core.config import Config
 from ..core.metrics import Averager
-from ..data.pipeline import Batcher, Prefetcher, batches, device_batch
+from ..data.pipeline import (
+    PackedSamples,
+    Prefetcher,
+    device_batch,
+    packed_batches,
+)
 from ..eval.evaluate import validate
 from .checkpoint import save_checkpoint
 from .state import TrainState, create_train_state, make_optimizer
@@ -73,18 +78,20 @@ def train(
 ) -> TrainState:
     """Train ``model`` (reference train(), training_functions.py:30-148)."""
     codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
-    batcher = Batcher(codec, cfg.train.batch_size)
     steps_per_epoch = max(len(train_samples) // cfg.train.batch_size, 1)
+
+    # one upfront pack: per-batch host work drops to fancy-index gathers and
+    # the wire format is uint8 (see data.pipeline.PackedSamples)
+    packed_train = PackedSamples.from_samples(train_samples, codec)
+    packed_val = PackedSamples.from_samples(val_samples, codec)
 
     tx = make_optimizer(cfg.train, steps_per_epoch)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     if state is None:
-        head = [train_samples[i]
-                for i in range(min(len(train_samples), cfg.train.batch_size))]
-        sample_batch = next(
-            iter(batches(head, batcher, shuffle=False, drop_last=False))
-        )
+        sample_batch = next(iter(packed_batches(
+            packed_train, min(len(packed_train), cfg.train.batch_size),
+            shuffle=False, drop_last=False)))
         dev = device_batch(sample_batch, device_put)
         state = create_train_state(model, tx, dev, rng)
 
@@ -95,8 +102,9 @@ def train(
     eval_step = make_eval_step(model)
 
     def run_validation(st: TrainState) -> float:
-        val_iter = batches(val_samples, batcher, shuffle=False,
-                           drop_last=False, seed=cfg.train.seed)
+        val_iter = packed_batches(packed_val, cfg.train.batch_size,
+                                  shuffle=False, drop_last=False,
+                                  seed=cfg.train.seed)
         res = validate(eval_step, st.variables(), val_iter, codec,
                        print_samples=verbose, device_put=device_put)
         return res.accuracy
@@ -131,8 +139,9 @@ def train(
         epoch_iter = Prefetcher(
             (
                 device_batch(b, device_put)
-                for b in batches(train_samples, batcher, shuffle=True,
-                                 seed=cfg.train.seed + epoch)
+                for b in packed_batches(packed_train, cfg.train.batch_size,
+                                        shuffle=True,
+                                        seed=cfg.train.seed + epoch)
             ),
             depth=4,
         )

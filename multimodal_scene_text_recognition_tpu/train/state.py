@@ -58,9 +58,12 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.Gradient
 
 def create_train_state(model, tx, sample_batch, rng) -> TrainState:
     """Initialise model variables and optimiser state."""
+    image = sample_batch["image"]
+    if str(image.dtype) == "uint8":  # wire format (data.pipeline); model sees f32
+        image = image.astype("float32") / 255.0
     variables = model.init(
         {"params": rng, "dropout": rng, "semantics": rng},
-        sample_batch["image"],
+        image,
         sample_batch["text"][:, :-1],
         sample_batch["overlap"],
         sample_batch["scene"],

@@ -22,6 +22,14 @@ from ..parallel import mesh as mesh_lib
 from .state import TrainState
 
 
+def prep_image(image: jnp.ndarray) -> jnp.ndarray:
+    """Accept uint8 crops on the wire (data.pipeline ships uint8 — 4x less
+    host->device traffic than f32); convert to f32 [0,1] on device."""
+    if image.dtype == jnp.uint8:
+        return image.astype(jnp.float32) / 255.0
+    return image
+
+
 def cross_entropy(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
@@ -88,11 +96,12 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         text_in = batch["text"][:, :-1]
         targets = batch["text"][:, 1:]
+        image = prep_image(batch["image"])
 
         def loss_fn(params):
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 text_in,
                 batch["overlap"],
                 batch["scene"],
@@ -145,7 +154,7 @@ def make_eval_step(model) -> Callable:
     def eval_step(variables, batch):
         logits = model.apply(
             variables,
-            batch["image"],
+            prep_image(batch["image"]),
             None,
             batch["overlap"],
             batch["scene"],
@@ -173,7 +182,7 @@ def shard_eval_step(model, mesh: Mesh, variables) -> Tuple[Callable, Any]:
 
     def eval_step(variables, batch):
         logits = model.apply(
-            variables, batch["image"], None, batch["overlap"],
+            variables, prep_image(batch["image"]), None, batch["overlap"],
             batch["scene"], batch["ious"], train=False,
         )
         return jnp.argmax(logits, axis=-1)

@@ -146,6 +146,51 @@ def test_greedy_decode_equals_stepwise_rerun(kw):
     np.testing.assert_allclose(np.asarray(fused), rerun, atol=1e-4)
 
 
+def test_early_stop_decode_matches_full_scan():
+    """early_stop (while_loop, exits when all rows emitted [s]) produces the
+    same [s]-pruned strings as the fixed-length scan, and identical logits
+    for every position up to and including each row's first [s]."""
+    from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec, EOS_ID
+    from multimodal_scene_text_recognition_tpu.models.decoders import (
+        TransformerDecoder,
+    )
+
+    B, H, E, T = 4, 64, 32, 25
+    common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
+                  ff_dim=64, num_layers=2, dropout=0.0, max_text_length=T)
+    dec_full = TransformerDecoder(**common, early_stop=False)
+    dec_es = TransformerDecoder(**common, early_stop=True)
+    enc_out = jnp.asarray(RNG.standard_normal((B, 26, H)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec_full.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, 26), jnp.int32), None, train=True,
+    )
+    # bias the logit head toward [s] so sequences actually stop early
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 2.0 * jax.nn.one_hot(EOS_ID, 97)
+        if any(getattr(p, "key", None) == "emb_to_classes" for p in path)
+        and v.ndim == 1 else v,
+        variables,
+    )
+
+    full = np.asarray(dec_full.apply(variables, enc_out, None, None, train=False))
+    es = np.asarray(dec_es.apply(variables, enc_out, None, None, train=False))
+
+    codec = AttnCodec("".join(chr(33 + i) for i in range(94)), T)
+    s_full = codec.decode(full.argmax(-1))
+    s_es = codec.decode(es.argmax(-1))
+    assert s_full == s_es
+    # logits identical through each row's first [s]
+    ids = full.argmax(-1)
+    for b in range(B):
+        eos_pos = np.argmax(ids[b] == EOS_ID) if (ids[b] == EOS_ID).any() else T - 1
+        np.testing.assert_allclose(
+            es[b, : eos_pos + 1], full[b, : eos_pos + 1], atol=1e-5)
+    # the early path must actually have stopped for this biased head
+    assert (ids == EOS_ID).any()
+
+
 def test_train_loss_decreases_one_step():
     """A single SGD step on one batch reduces the CE loss (sanity that the
     whole graph is differentiable end to end)."""

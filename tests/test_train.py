@@ -99,6 +99,67 @@ def test_batches_drop_last_and_pad():
     assert last["valid"].sum() == 2
 
 
+def test_packed_pipeline_matches_batcher():
+    """PackedSamples (uint8 wire format + pre-encoded text) yields the same
+    batches as the per-sample Batcher path, modulo uint8 quantisation."""
+    from multimodal_scene_text_recognition_tpu.data.pipeline import (
+        PackedSamples, packed_batches,
+    )
+
+    codec = AttnCodec(TINY.chars)
+    samples = make_dataset(10, seed=0)
+    packed = PackedSamples.from_samples(samples, codec)
+    batcher = Batcher(codec, 4)
+
+    ref = list(batches(samples, batcher, shuffle=False, drop_last=False))
+    got = list(packed_batches(packed, 4, shuffle=False, drop_last=False))
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        assert g["image"].dtype == np.uint8
+        v = g.get("valid", np.ones(len(g["labels"]), bool))
+        np.testing.assert_allclose(
+            g["image"].astype(np.float32)[v] / 255.0,
+            r["image"][v], atol=1 / 255.0 + 1e-6)
+        np.testing.assert_array_equal(r["text"][v], g["text"][v])
+        np.testing.assert_array_equal(r["overlap"][v], g["overlap"][v])
+        assert r["labels"] == g["labels"]
+    assert got[-1]["valid"].sum() == 2
+
+    # shuffled epochs are deterministic by seed and cover every sample
+    e1 = list(packed_batches(packed, 4, shuffle=True, seed=3, drop_last=True))
+    e2 = list(packed_batches(packed, 4, shuffle=True, seed=3, drop_last=True))
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a["anno_id"], b["anno_id"])
+    assert len(e1) == 2
+
+
+def test_uint8_batch_trains_like_f32():
+    """prep_image: a uint8 batch runs the jitted step; loss matches the f32
+    batch built from the same quantised pixels."""
+    from multimodal_scene_text_recognition_tpu.data.pipeline import (
+        PackedSamples, packed_batches,
+    )
+
+    codec = AttnCodec(TINY.chars)
+    samples = make_dataset(8, seed=0, vocab_words=["ab", "cat", "dog1"])
+    packed = PackedSamples.from_samples(samples, codec)
+    b_u8 = next(iter(packed_batches(packed, 8, shuffle=False)))
+    b_f32 = dict(b_u8, image=b_u8["image"].astype(np.float32) / 255.0)
+
+    model = build_model(TINY)
+    tx = make_optimizer(TrainConfig(batch_size=8))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, tx, device_batch(b_u8), rng)
+    step = make_train_step(model, tx, donate=False)
+    _, m_u8 = step(state, device_batch(b_u8), rng)
+    _, m_f32 = step(state, device_batch(b_f32), rng)
+    np.testing.assert_allclose(
+        float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-5)
+
+    ids = make_eval_step(model)(state.variables(), device_batch(b_u8))
+    assert ids.shape[0] == 8
+
+
 def test_prefetcher_yields_all_and_propagates_errors():
     items = list(range(20))
     assert list(Prefetcher(iter(items), depth=2)) == items
