@@ -78,6 +78,12 @@ class ModelConfig:
     # autoregressive steps on trained models; identical [s]-pruned strings.
     decode_early_stop: bool = False
 
+    # run the greedy decode as ONE fused Pallas kernel (weights, cross K/V
+    # and KV caches all resident in VMEM for the whole loop) — see
+    # ops/fused_decode.py.  Falls back to the XLA scan for configs the
+    # kernel doesn't cover (per-layer fusion sites, cls_decoder_init).
+    decode_fused: bool = False
+
     # --- text geometry (reference: config.py:19-20) ---
     max_text_length: int = 25
     chars: str = DEFAULT_CHARS

@@ -230,6 +230,11 @@ class TransformerDecoder(nn.Module):
     # stop token are never read by the codec).  Off by default: the fixed
     # scan is the parity path and faster for random-init benchmarking.
     early_stop: bool = False
+    # run the whole greedy loop inside one Pallas kernel (weights + KV caches
+    # resident in VMEM, zero per-step dispatch overhead — see
+    # ops/fused_decode.py).  Supported for configs without per-layer fusion
+    # sites or cls_decoder_init; falls back to the XLA scan otherwise.
+    fused: bool = False
 
     def setup(self):
         E = self.d_model
@@ -463,6 +468,39 @@ class TransformerDecoder(nn.Module):
         emb_table = self.emb.embedding
         pe = jnp.asarray(sinusoidal_table(T + 1, E))
         cls0 = self._sem_cls(memory, sem) if self.cls_decoder_init else None
+
+        fused_ok = self.fused and not (
+            self.multihead_pre_target or self.multihead_pre_memory
+            or self.multihead_post_memory or self.cls_decoder_init
+            or self.early_stop
+        )
+        if fused_ok:
+            from ..ops.fused_decode import (
+                fused_greedy_decode,
+                stack_decoder_weights,
+            )
+
+            layer_ws = [l.weights() for l in self.decoder_layers]
+            ck, cv = [], []
+            for w in layer_ws:
+                _, k, v = qkv_projections(memory, memory, w.cross_attn)
+                ck.append(k)
+                cv.append(v)
+            fw = stack_decoder_weights(
+                layer_ws, self.final_norm.weights(),
+                self.emb_to_classes.weights(), emb_table, pe[:T],
+            )
+            logits = fused_greedy_decode(
+                jax.tree.map(jax.lax.stop_gradient, fw),
+                jnp.stack(ck), jnp.stack(cv),
+                num_heads=self.num_heads, steps=T,
+                dtype=jnp.dtype(self.dtype), go_id=GO_ID,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if self.post_decoder_mlp:
+                logits = self._post_decoder(logits, sem)
+            return logits
+
         step_all, make_caches = self._make_stepper(memory, sem)
 
         def step(prev_id, t, caches):

@@ -105,6 +105,7 @@ class SceneTextModel(nn.Module):
                 post_decoder_mlp=cfg.post_decoder_mlp,
                 dtype=cfg.compute_dtype,
                 early_stop=cfg.decode_early_stop,
+                fused=cfg.decode_fused,
                 name="decoder",
             )
         elif cfg.decoder == "linear":

@@ -1,0 +1,302 @@
+"""Whole-decode fused Pallas kernel: the entire greedy loop in ONE kernel.
+
+Motivation (docs/RESULTS.md round-1 profile): the XLA ``lax.scan`` greedy
+decode costs ~5 ms of the 19 ms batch at B=192 — ~200 us per autoregressive
+step for ~12 us of MXU FLOPs.  The per-step cost is op-dispatch overhead:
+each of the 25 sequential steps issues ~90 small fused kernels (6 layers x
+{qkv matmul, 2 cache updates, attention, projections, 3 layernorms, FF}).
+
+This kernel removes that overhead entirely by running the full autoregressive
+loop *inside* a single Pallas program:
+
+  * all 6 layers' weights (~17 MB bf16), the cross-attention K/V (~31 MB) and
+    the self-attention KV caches (~30 MB scratch) stay resident in VMEM for
+    the whole decode — zero HBM traffic after the initial load;
+  * the argmax feedback (embed lookup of the previous prediction) happens
+    in-kernel as a one-hot matmul, so there is no host or XLA round-trip
+    between steps;
+  * per-head attention uses a 0/1 head-selection matrix ``S [E, H]``
+    (``S[d, h] = 1`` iff feature d belongs to head h) so scores and contexts
+    are plain MXU matmuls — no sub-128-lane reshapes:
+
+        scores[b,t,h] = sum_d q[b,d] k[b,t,d] S[d,h]   ((q*K) @ S)
+        ctx[b,d]      = sum_t probs[b,t,head(d)] v[b,t,d]   ((P @ S^T) * V)
+
+Numerics match the XLA scan path (`models/decoders.py` ``_make_stepper``):
+matmuls in ``dtype`` with float32 accumulation, layernorm statistics and
+logits in float32.  Greedy argmax resolves ties to the first maximum, same
+as XLA/numpy argmax.
+
+Replaces the hot loop of the reference's eval decode
+(/root/reference/modules/decoders.py:226-263) — which re-runs all layers
+over the whole prefix each step — with an O(T) cached loop at kernel speed.
+
+The kernel covers the flagship decoder configuration (optionally with
+``pre_decoder_mlp`` / ``post_decoder_mlp``, which act outside the loop);
+per-layer fusion sites and ``cls_decoder_init`` fall back to the XLA scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FusedDecodeWeights(NamedTuple):
+    """Per-layer weights stacked along a leading L axis (plus shared tables).
+
+    Shapes (L layers, model dim E, FF dim F, classes C, steps T):
+      w_qkv [L,E,3E]  b_qkv [L,1,3E]   self-attention packed projection
+      w_out [L,E,E]   b_out [L,1,E]    self-attention output projection
+      cw_q  [L,E,E]   cb_q  [L,1,E]    cross-attention query projection
+      cw_o  [L,E,E]   cb_o  [L,1,E]    cross-attention output projection
+      ff1_w [L,E,F]   ff1_b [L,1,F]
+      ff2_w [L,F,E]   ff2_b [L,1,E]
+      n{1,2,3}_s/b [L,1,E]             the three layernorms
+      fn_s / fn_b [1,E]                final norm
+      head_w [E,C]    head_b [1,C]     emb_to_classes
+      emb [C,E]       pe [T,E]         embedding table / positional rows
+    """
+
+    w_qkv: Any
+    b_qkv: Any
+    w_out: Any
+    b_out: Any
+    cw_q: Any
+    cb_q: Any
+    cw_o: Any
+    cb_o: Any
+    ff1_w: Any
+    ff1_b: Any
+    ff2_w: Any
+    ff2_b: Any
+    n1_s: Any
+    n1_b: Any
+    n2_s: Any
+    n2_b: Any
+    n3_s: Any
+    n3_b: Any
+    fn_s: Any
+    fn_b: Any
+    head_w: Any
+    head_b: Any
+    emb: Any
+    pe: Any
+
+
+def stack_decoder_weights(
+    layer_ws: Sequence, final_norm_w, head_w, emb_table, pe
+) -> FusedDecodeWeights:
+    """Build :class:`FusedDecodeWeights` from per-layer ``DecLayerWeights``.
+
+    ``layer_ws`` fields follow models/decoders.DecLayerWeights; the cross
+    attention uses only the query third of its packed projection here (K/V
+    over the memory are precomputed once outside the loop).
+    """
+    E = layer_ws[0].self_attn.w_qkv.shape[0]
+
+    def stk(xs):
+        return jnp.stack(list(xs))
+
+    def row(xs):  # [L, D] -> [L, 1, D] so in-kernel broadcast is 2D
+        return jnp.stack([x[None, :] for x in xs])
+
+    fns, fnb = final_norm_w
+    hk, hb = head_w
+    return FusedDecodeWeights(
+        w_qkv=stk(w.self_attn.w_qkv for w in layer_ws),
+        b_qkv=row(w.self_attn.b_qkv for w in layer_ws),
+        w_out=stk(w.self_attn.w_out for w in layer_ws),
+        b_out=row(w.self_attn.b_out for w in layer_ws),
+        cw_q=stk(w.cross_attn.w_qkv[:, :E] for w in layer_ws),
+        cb_q=row(w.cross_attn.b_qkv[:E] for w in layer_ws),
+        cw_o=stk(w.cross_attn.w_out for w in layer_ws),
+        cb_o=row(w.cross_attn.b_out for w in layer_ws),
+        ff1_w=stk(w.ff1[0] for w in layer_ws),
+        ff1_b=row(w.ff1[1] for w in layer_ws),
+        ff2_w=stk(w.ff2[0] for w in layer_ws),
+        ff2_b=row(w.ff2[1] for w in layer_ws),
+        n1_s=row(w.norm1[0] for w in layer_ws),
+        n1_b=row(w.norm1[1] for w in layer_ws),
+        n2_s=row(w.norm2[0] for w in layer_ws),
+        n2_b=row(w.norm2[1] for w in layer_ws),
+        n3_s=row(w.norm3[0] for w in layer_ws),
+        n3_b=row(w.norm3[1] for w in layer_ws),
+        fn_s=fns[None, :],
+        fn_b=fnb[None, :],
+        head_w=hk,
+        head_b=hb[None, :],
+        emb=emb_table,
+        pe=pe,
+    )
+
+
+def head_select_matrix(E: int, num_heads: int) -> np.ndarray:
+    """0/1 selection matrix S [E, H]: S[d, h] = 1 iff d // (E/H) == h."""
+    hd = E // num_heads
+    S = np.zeros((E, num_heads), np.float32)
+    for h in range(num_heads):
+        S[h * hd : (h + 1) * hd, h] = 1.0
+    return S
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _decode_kernel(
+    # refs, in FusedDecodeWeights field order
+    w_qkv, b_qkv, w_out, b_out, cw_q, cb_q, cw_o, cb_o,
+    ff1_w, ff1_b, ff2_w, ff2_b,
+    n1_s, n1_b, n2_s, n2_b, n3_s, n3_b, fn_s, fn_b,
+    head_w, head_b, emb, pe,
+    ck, cv, sel,          # cross K/V [L,B,Tm,E], head-select S [E,H]
+    logits_ref,           # out: [T, B, C] float32
+    kc, vc,               # scratch: [L, B, T, E] self-attn caches
+    *, L: int, num_heads: int, go_id: int, eps: float,
+):
+    E = w_qkv.shape[1]
+    B, T = kc.shape[1], kc.shape[2]
+    C = head_w.shape[1]
+    dt = kc.dtype
+    inv_sqrt_hd = 1.0 / math.sqrt(E // num_heads)
+
+    # masked cache positions must be exactly zero (softmax gives them exact
+    # zero probability via -inf, and 0 * 0 = 0; garbage could be NaN)
+    kc[...] = jnp.zeros(kc.shape, dt)
+    vc[...] = jnp.zeros(vc.shape, dt)
+
+    S = sel[...].astype(dt)            # [E, H]
+    St = S.T                            # [H, E]
+
+    def ln(x32, s_ref, b_ref, l=None):
+        s = (s_ref[l] if l is not None else s_ref[...]).astype(jnp.float32)
+        b = (b_ref[l] if l is not None else b_ref[...]).astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True)
+        return (x32 - mean) * jax.lax.rsqrt(var + eps) * s + b
+
+    def attend_cached(q, k_all, v_all, t, masked):
+        """q [B,E] (dtype dt), k_all/v_all [B,T',E] -> ctx [B,E] float32."""
+        Tp = k_all.shape[1]
+        P = q[:, None, :] * k_all                      # [B,T',E]
+        scores = _dot(P.reshape(B * Tp, E), S).reshape(B, Tp, num_heads)
+        scores = scores * inv_sqrt_hd                  # float32
+        if masked:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
+            scores = jnp.where(pos <= t, scores, -jnp.inf)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=1, keepdims=True)  # [B,T',H] float32
+        probsE = _dot(
+            probs.astype(dt).reshape(B * Tp, num_heads), St
+        ).reshape(B, Tp, E)
+        return jnp.sum(probsE.astype(dt) * v_all, axis=1,
+                       dtype=jnp.float32)              # [B,E]
+
+    def step(t, onehot):
+        # embed previous prediction + positional row (float32 carry)
+        x = _dot(onehot.astype(dt), emb[...]) + pe[pl.ds(t, 1), :]
+        for l in range(L):
+            xb = x.astype(dt)
+            # -- self attention over the running KV cache --
+            qkv = _dot(xb, w_qkv[l]) + b_qkv[l]        # [B,3E] f32
+            q = qkv[:, :E].astype(dt)
+            kc[l, :, pl.ds(t, 1), :] = qkv[:, None, E : 2 * E].astype(dt)
+            vc[l, :, pl.ds(t, 1), :] = qkv[:, None, 2 * E :].astype(dt)
+            ctx = attend_cached(q, kc[l], vc[l], t, masked=True)
+            a = _dot(ctx.astype(dt), w_out[l]) + b_out[l]
+            x = ln(x + a, n1_s, n1_b, l)
+            # -- cross attention over precomputed memory K/V --
+            xb = x.astype(dt)
+            q2 = (_dot(xb, cw_q[l]) + cb_q[l]).astype(dt)
+            ctx2 = attend_cached(q2, ck[l], cv[l], t, masked=False)
+            a2 = _dot(ctx2.astype(dt), cw_o[l]) + cb_o[l]
+            x = ln(x + a2, n2_s, n2_b, l)
+            # -- feed-forward --
+            xb = x.astype(dt)
+            h = jnp.maximum(_dot(xb, ff1_w[l]) + ff1_b[l], 0.0)
+            f = _dot(h.astype(dt), ff2_w[l]) + ff2_b[l]
+            x = ln(x + f, n3_s, n3_b, l)
+        x = ln(x, fn_s, fn_b)
+        logits_t = _dot(x.astype(dt), head_w[...]) + head_b[...].astype(
+            jnp.float32
+        )                                               # [B,C] f32
+        logits_ref[pl.ds(t, 1)] = logits_t[None]
+        # first-argmax one-hot (ties resolve to the lowest index, like XLA)
+        mx = jnp.max(logits_t, axis=-1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+        cand = jnp.where(logits_t == mx, col, C)
+        first = jnp.min(cand, axis=-1, keepdims=True)
+        return (col == first).astype(jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    onehot0 = (col == go_id).astype(jnp.float32)
+    jax.lax.fori_loop(0, T, step, onehot0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "steps", "dtype", "go_id", "eps",
+                     "interpret"),
+)
+def fused_greedy_decode(
+    weights: FusedDecodeWeights,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    *,
+    num_heads: int,
+    steps: int,
+    dtype=jnp.bfloat16,
+    go_id: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused greedy decode. Returns logits [B, steps, C] float32.
+
+    cross_k/cross_v: [L, B, Tm, E] memory projections (qkv_projections of the
+    encoder output per layer, stacked).
+    """
+    dt = jnp.dtype(dtype)
+    L, B, _, E = cross_k.shape
+    C = weights.head_w.shape[1]
+    T = steps
+
+    def cast(x):
+        return x.astype(dt) if x.dtype in (jnp.float32, jnp.bfloat16) else x
+
+    w = FusedDecodeWeights(*[cast(x) for x in weights])
+    # positional rows and the selection matrix stay float32 (cast in-kernel)
+    w = w._replace(pe=weights.pe.astype(jnp.float32))
+    sel = jnp.asarray(head_select_matrix(E, num_heads))
+
+    kernel = functools.partial(
+        _decode_kernel, L=L, num_heads=num_heads, go_id=go_id, eps=eps
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+    n_in = len(w) + 3
+    logits = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, C), jnp.float32),
+        in_specs=[vspec] * n_in,
+        out_specs=vspec,
+        scratch_shapes=[
+            pltpu.VMEM((L, B, T, E), dt),
+            pltpu.VMEM((L, B, T, E), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*w, cross_k.astype(dt), cross_v.astype(dt), sel)
+    return jnp.swapaxes(logits, 0, 1)  # [B, T, C]

@@ -231,3 +231,61 @@ def test_standard_norm_style_and_remat():
     out = init_and_run(cfg, train=True)
     assert out.shape == (2, 26, 97)
     assert init_and_run(cfg, train=False).shape == (2, 25, 97)
+
+
+def test_fused_decode_matches_scan():
+    """The whole-decode Pallas kernel (ops/fused_decode.py, interpret mode on
+    CPU) produces the same logits/argmax as the XLA scan greedy decode, with
+    and without the out-of-loop fusion hooks it supports."""
+    from multimodal_scene_text_recognition_tpu.models.decoders import (
+        TransformerDecoder,
+    )
+
+    B, H, E, T = 3, 64, 32, 25
+    for hooks in (dict(), dict(pre_decoder_mlp=True, post_decoder_mlp=True)):
+        common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
+                      ff_dim=64, num_layers=2, dropout=0.0,
+                      max_text_length=T, **hooks)
+        dec_scan = TransformerDecoder(**common)
+        dec_fused = TransformerDecoder(**common, fused=True)
+        enc_out = jnp.asarray(
+            RNG.standard_normal((B, 26, H)).astype(np.float32))
+        sem = jnp.asarray(RNG.standard_normal((B, 5, E)).astype(np.float32))
+        rng = jax.random.PRNGKey(0)
+        variables = dec_scan.init(
+            {"params": rng, "dropout": rng},
+            enc_out, jnp.zeros((B, 26), jnp.int32), sem, train=True,
+        )
+        ref = np.asarray(
+            dec_scan.apply(variables, enc_out, None, sem, train=False))
+        fus = np.asarray(
+            dec_fused.apply(variables, enc_out, None, sem, train=False))
+        np.testing.assert_allclose(ref, fus, atol=1e-4)
+        assert (ref.argmax(-1) == fus.argmax(-1)).all()
+
+
+def test_fused_decode_falls_back_for_unsupported_configs():
+    """Per-layer fusion sites aren't covered by the kernel — fused=True must
+    still produce correct output via the XLA scan fallback."""
+    from multimodal_scene_text_recognition_tpu.models.decoders import (
+        TransformerDecoder,
+    )
+
+    B, H, E, T = 2, 64, 32, 25
+    common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
+                  ff_dim=64, num_layers=2, dropout=0.0, max_text_length=T,
+                  multihead_pre_target=True)
+    dec_scan = TransformerDecoder(**common)
+    dec_fused = TransformerDecoder(**common, fused=True)
+    enc_out = jnp.asarray(RNG.standard_normal((B, 26, H)).astype(np.float32))
+    sem = jnp.asarray(RNG.standard_normal((B, 5, E)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec_scan.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, 26), jnp.int32), sem, train=True,
+    )
+    ref = np.asarray(
+        dec_scan.apply(variables, enc_out, None, sem, train=False))
+    fus = np.asarray(
+        dec_fused.apply(variables, enc_out, None, sem, train=False))
+    np.testing.assert_allclose(ref, fus, atol=1e-5)
