@@ -37,9 +37,12 @@ def _load_dataset(cfg: Config, split_sizes=None):
         if cfg.data.synthetic_vocab_size > 0:
             vocab = random_vocab(cfg.data.synthetic_vocab_size,
                                  seed=cfg.train.seed)
+        cache = cfg.data.synthetic_cache_dir or None
         return (
-            make_dataset(n_train, seed=cfg.train.seed, vocab_words=vocab),
-            make_dataset(n_val, seed=cfg.train.seed + 1, vocab_words=vocab),
+            make_dataset(n_train, seed=cfg.train.seed, vocab_words=vocab,
+                         cache_dir=cache),
+            make_dataset(n_val, seed=cfg.train.seed + 1, vocab_words=vocab,
+                         cache_dir=cache),
         )
     if name == "cocotext":
         from .data.cocotext import get_cocotext_datasets

@@ -102,11 +102,37 @@ def make_dataset(
     vocab_words: Optional[Sequence[str]] = None,
     num_obj_classes: int = 2000,
     workers: int = 8,
+    cache_dir: Optional[str] = None,
 ) -> List[SyntheticSample]:
     """Deterministic synthetic set; rendering is thread-parallel (PIL
     releases the GIL in draw/resize) with one child RNG per sample so the
     output is independent of worker count."""
     rng = np.random.default_rng(seed)
+
+    cache_path = None
+    if cache_dir:
+        import hashlib
+        import os
+
+        vocab_key = "open" if vocab_words is None else hashlib.sha1(
+            "\n".join(vocab_words).encode()).hexdigest()[:10]
+        chars_key = hashlib.sha1(chars.encode()).hexdigest()[:6]
+        cache_path = os.path.join(
+            cache_dir,
+            f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}.npz",
+        )
+        if os.path.exists(cache_path):
+            z = np.load(cache_path, allow_pickle=False)
+            labels = [l for l in z["labels"]]
+            img = z["image"].astype(np.float32) / 255.0
+            return [
+                SyntheticSample(
+                    anno_id=int(z["anno_id"][i]), image=img[i],
+                    label=str(labels[i]), overlap=z["overlap"][i],
+                    scene=z["scene"][i], ious=z["ious"][i],
+                )
+                for i in range(len(labels))
+            ]
 
     metas = []
     for i in range(size):
@@ -141,5 +167,24 @@ def make_dataset(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(build, work))
-    return [build(w) for w in work]
+            out = list(pool.map(build, work))
+    else:
+        out = [build(w) for w in work]
+
+    if cache_path is not None:
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(
+            cache_path,
+            image=np.stack([
+                np.clip(np.rint(s.image * 255.0), 0, 255).astype(np.uint8)
+                for s in out
+            ]),
+            labels=np.asarray([s.label for s in out]),
+            overlap=np.stack([s.overlap for s in out]),
+            scene=np.stack([s.scene for s in out]),
+            ious=np.stack([s.ious for s in out]),
+            anno_id=np.asarray([s.anno_id for s in out], np.int64),
+        )
+    return out

@@ -23,6 +23,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.charset import AttnCodec
@@ -37,7 +38,11 @@ from ..data.pipeline import (
 from ..eval.evaluate import validate
 from .checkpoint import save_checkpoint
 from .state import TrainState, create_train_state, make_optimizer
-from .steps import make_eval_step, make_train_step
+from .steps import (
+    make_device_data_train_step,
+    make_eval_step,
+    make_train_step,
+)
 
 
 class CSVLog:
@@ -95,10 +100,30 @@ def train(
         dev = device_batch(sample_batch, device_put)
         state = create_train_state(model, tx, dev, rng)
 
-    train_step = make_train_step(
-        model, tx, counts_pad=cfg.train.loss_counts_pad,
-        label_smoothing=cfg.train.label_smoothing,
+    # device-resident dataset: gather batches by index inside the jitted
+    # step (the index vector is the only per-step host->device transfer)
+    packed_bytes = sum(
+        getattr(packed_train, k).nbytes
+        for k in ("image", "text", "overlap", "scene", "ious")
     )
+    use_device_data = (
+        cfg.train.device_data
+        and packed_bytes <= cfg.train.device_data_max_mb * 2**20
+    )
+    if use_device_data:
+        data_dev = jax.device_put({
+            k: getattr(packed_train, k)
+            for k in ("image", "text", "overlap", "scene", "ious")
+        })
+        dd_step = make_device_data_train_step(
+            model, tx, counts_pad=cfg.train.loss_counts_pad,
+            label_smoothing=cfg.train.label_smoothing,
+        )
+    else:
+        train_step = make_train_step(
+            model, tx, counts_pad=cfg.train.loss_counts_pad,
+            label_smoothing=cfg.train.label_smoothing,
+        )
     eval_step = make_eval_step(model)
 
     def run_validation(st: TrainState) -> float:
@@ -134,39 +159,70 @@ def train(
             break
         if verbose:
             print(f"  - Epoch: {epoch + 1}", flush=True)
-        # collate AND device_put happen in the prefetch thread so the
-        # host->device copy overlaps the previous step's compute
-        epoch_iter = Prefetcher(
-            (
-                device_batch(b, device_put)
-                for b in packed_batches(packed_train, cfg.train.batch_size,
-                                        shuffle=True,
-                                        seed=cfg.train.seed + epoch)
-            ),
-            depth=4,
-        )
+        if use_device_data:
+            B = cfg.train.batch_size
+            n_steps = len(packed_train) // B
+            K = max(1, min(cfg.train.steps_per_call, n_steps))
+            order = np.random.default_rng(
+                cfg.train.seed + epoch).permutation(len(packed_train))
+            order = order[: (n_steps // K) * K * B].reshape(-1, K, B)
+            epoch_iter = (jnp.asarray(blk, jnp.int32) for blk in order)
+        else:
+            # collate AND device_put happen in the prefetch thread so the
+            # host->device copy overlaps the previous step's compute
+            epoch_iter = Prefetcher(
+                (
+                    device_batch(b, device_put)
+                    for b in packed_batches(packed_train,
+                                            cfg.train.batch_size,
+                                            shuffle=True,
+                                            seed=cfg.train.seed + epoch)
+                ),
+                depth=4,
+            )
         t_last = time.perf_counter()
+        iter_last = iteration
         pending = []  # device-side metrics; fetched only at logging points
+        next_log = (iteration // log_every + 1) * log_every
+        next_val = (
+            (iteration // cfg.train.validation_steps + 1)
+            * cfg.train.validation_steps
+        )
         for dev in epoch_iter:
-            state, metrics = train_step(state, dev, rng)
-            iteration += 1
+            if use_device_data:
+                # dev is a [K, B] index block: K optimizer steps per call
+                state, metrics = dd_step(state, data_dev, dev, rng)
+                iteration += int(dev.shape[0])
+            else:
+                state, metrics = train_step(state, dev, rng)
+                iteration += 1
 
             # keep metrics on device — a float() here would synchronise the
             # dispatch queue every step and stall the chip
             pending.append(metrics)
 
-            if (
-                iteration % log_every == 0
-                or iteration % cfg.train.validation_steps == 0
-            ):
-                for m in pending:
-                    loss_avg.add(float(m["loss"]))
-                    acc_avg.add(float(m["token_acc"]))
+            hit_log = iteration >= next_log
+            hit_val = iteration >= next_val
+            if hit_log or hit_val:
+                # ONE stacked transfer for the whole window — per-scalar
+                # float() fetches are a host round-trip each, which on a
+                # tunneled chip costs more than the steps themselves
+                fetched = jax.device_get(jax.tree.map(
+                    lambda *xs: jnp.concatenate(
+                        [jnp.atleast_1d(x) for x in xs]),
+                    *pending,
+                ))
+                for l, a in zip(fetched["loss"], fetched["token_acc"]):
+                    loss_avg.add(float(l))
+                    acc_avg.add(float(a))
                 pending = []
 
-            if verbose and iteration % log_every == 0:
-                dt = (time.perf_counter() - t_last) / log_every
+            if verbose and hit_log:
+                n_done = iteration - iter_last
+                dt = (time.perf_counter() - t_last) / max(n_done, 1)
                 t_last = time.perf_counter()
+                iter_last = iteration
+                next_log = (iteration // log_every + 1) * log_every
                 print(
                     f"    iter {iteration}: loss {loss_avg.val():.4f} "
                     f"token_acc {acc_avg.val():.3f} "
@@ -174,7 +230,11 @@ def train(
                     flush=True,
                 )
 
-            if iteration % cfg.train.validation_steps == 0:
+            if hit_val:
+                next_val = (
+                    (iteration // cfg.train.validation_steps + 1)
+                    * cfg.train.validation_steps
+                )
                 val_acc = run_validation(state)
                 if verbose:
                     print(f"  - iter {iteration}: {val_acc}% | "

@@ -148,6 +148,37 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_device_data_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    counts_pad: bool = True,
+    label_smoothing: float = 0.0,
+) -> Callable:
+    """Train step(s) over a device-resident dataset:
+    (state, data, idx [K, B] i32, rng) -> (state, metrics stacked [K]).
+
+    ``data`` is the whole packed corpus already in HBM (uint8 images); the
+    batch gather happens inside the jitted program, so the only per-step
+    host->device transfer is the index block.  With ``steps_per_call`` K>1
+    a ``lax.scan`` runs K optimizer steps per dispatch — on a tunneled or
+    PCIe-attached chip the per-call dispatch latency otherwise dominates.
+    TPU-idiomatic replacement for a host data loader when the corpus fits
+    in HBM (a 500k-crop packed synthetic set is ~1.6 GB of a v5e's 16 GB).
+    """
+    inner = make_train_step(
+        model, tx, counts_pad, label_smoothing, jit_compile=False
+    )
+
+    def multi_step(state: TrainState, data: Dict[str, jnp.ndarray], idx, rng):
+        def body(st, idx_row):
+            batch = {k: jnp.take(v, idx_row, axis=0) for k, v in data.items()}
+            return inner(st, batch, rng)  # inner folds rng by st.step
+
+        return jax.lax.scan(body, state, idx)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_eval_step(model) -> Callable:
     """Jitted greedy decode: (variables, batch) -> predicted ids [B, T]."""
 
