@@ -135,7 +135,11 @@ def cpu_baseline(cfg: ModelConfig) -> float:
     log("measuring CPU baseline (one-time)...")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        model = build_model(cfg)
+        # scan decode on CPU — the fused kernel would run in (very slow)
+        # pallas interpret mode there
+        import dataclasses
+
+        model = build_model(dataclasses.replace(cfg, decode_fused=False))
         small = example_batch(cfg, batch=24)  # full B=192 takes minutes on CPU
         rng = jax.random.PRNGKey(0)
         variables = model.init(
@@ -235,7 +239,9 @@ def bench_serving(model, variables, cfg, batch_sizes=(1, 8, 32)):
 def main():
     serving = "--serving" in sys.argv
     mesh_mode = "--mesh" in sys.argv
-    cfg = ModelConfig()
+    # the fused whole-decode Pallas kernel (ops/fused_decode.py) is the
+    # flagship decode path: ~+7% end-to-end over the XLA scan at B=192
+    cfg = ModelConfig(decode_fused=True)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     model, variables, batch = _retry(lambda: build(cfg), label="build")
@@ -263,7 +269,7 @@ def main():
 
     print(json.dumps({
         "metric": "greedy-decode word crops/sec/chip @ B=192 "
-                  "(TPS+ResNet31+TF6+TF6, KV-cache scan decode)",
+                  "(TPS+ResNet31+TF6+TF6, fused Pallas whole-decode kernel)",
         "value": round(dec["crops_per_sec"], 1),
         "unit": "crops/sec",
         "vs_baseline": round(ratio, 2) if ratio else None,

@@ -139,7 +139,8 @@ def stack_decoder_weights(
 
 
 def head_select_matrix(E: int, num_heads: int) -> np.ndarray:
-    """0/1 selection matrix S [E, H]: S[d, h] = 1 iff d // (E/H) == h."""
+    """0/1 head-selection matrix S [E, H]: S[d, h] = 1 iff feature d
+    belongs to head h."""
     hd = E // num_heads
     S = np.zeros((E, num_heads), np.float32)
     for h in range(num_heads):
@@ -160,13 +161,17 @@ def _decode_kernel(
     ff1_w, ff1_b, ff2_w, ff2_b,
     n1_s, n1_b, n2_s, n2_b, n3_s, n3_b, fn_s, fn_b,
     head_w, head_b, emb, pe,
-    ck, cv, sel,          # cross K/V [L,B,Tm,E], head-select S [E,H]
+    ck, cv, sel, sel_t,   # cross K/V [L,Tm,B,E], head-select S/[S^T]
     logits_ref,           # out: [T, B, C] float32
-    kc, vc,               # scratch: [L, B, T, E] self-attn caches
+    kc, vc,               # scratch: [L, T, B, E] self-attn caches
     *, L: int, num_heads: int, go_id: int, eps: float,
 ):
+    # time is the LEADING axis of every cached tensor ([T, B, E] slices):
+    # dynamic stores/loads at step t then index a non-tiled dimension —
+    # Mosaic requires sublane-aligned offsets if t addressed the tiled
+    # (second-to-last) dim.
     E = w_qkv.shape[1]
-    B, T = kc.shape[1], kc.shape[2]
+    T, B = kc.shape[1], kc.shape[2]
     C = head_w.shape[1]
     dt = kc.dtype
     inv_sqrt_hd = 1.0 / math.sqrt(E // num_heads)
@@ -176,8 +181,8 @@ def _decode_kernel(
     kc[...] = jnp.zeros(kc.shape, dt)
     vc[...] = jnp.zeros(vc.shape, dt)
 
-    S = sel[...].astype(dt)            # [E, H]
-    St = S.T                            # [H, E]
+    S = sel[...].astype(dt)            # [E, H] head-selection 0/1
+    St = sel_t[...].astype(dt)         # [H, E]
 
     def ln(x32, s_ref, b_ref, l=None):
         s = (s_ref[l] if l is not None else s_ref[...]).astype(jnp.float32)
@@ -187,33 +192,46 @@ def _decode_kernel(
         return (x32 - mean) * jax.lax.rsqrt(var + eps) * s + b
 
     def attend_cached(q, k_all, v_all, t, masked):
-        """q [B,E] (dtype dt), k_all/v_all [B,T',E] -> ctx [B,E] float32."""
-        Tp = k_all.shape[1]
-        P = q[:, None, :] * k_all                      # [B,T',E]
-        scores = _dot(P.reshape(B * Tp, E), S).reshape(B, Tp, num_heads)
+        """q [B,E] (dtype dt), k_all/v_all [T',B,E] -> ctx [B,E] float32.
+
+        Per-head scores are computed already broadcast over the head's
+        feature block: scoresE[t,b,d] = sum_d' P[t,b,d'] M[d',d] where M is
+        the same-head 0/1 block-diagonal — one aligned [T'*B,E]@[E,E]
+        matmul, no 8-wide head axis anywhere (Mosaic lowers gathers for
+        sub-lane reshapes otherwise).  Softmax over t then acts per (b,d)
+        with each head's score replicated across its 32 features.
+        """
+        Tp = k_all.shape[0]
+        Hn = num_heads
+        P = q[None, :, :] * k_all                      # [T',B,E]
+        scores = _dot(P.reshape(Tp * B, E), S).reshape(Tp, B, Hn)
         scores = scores * inv_sqrt_hd                  # float32
         if masked:
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (Tp, 1, 1), 0)
             scores = jnp.where(pos <= t, scores, -jnp.inf)
-        m = jnp.max(scores, axis=1, keepdims=True)
+        m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=1, keepdims=True)  # [B,T',H] float32
+        probs = e / jnp.sum(e, axis=0, keepdims=True)  # [T',B,H] float32
         probsE = _dot(
-            probs.astype(dt).reshape(B * Tp, num_heads), St
-        ).reshape(B, Tp, E)
-        return jnp.sum(probsE.astype(dt) * v_all, axis=1,
+            probs.astype(dt).reshape(Tp * B, Hn), St
+        ).reshape(Tp, B, E)
+        return jnp.sum(probsE.astype(dt) * v_all, axis=0,
                        dtype=jnp.float32)              # [B,E]
 
     def step(t, onehot):
         # embed previous prediction + positional row (float32 carry)
-        x = _dot(onehot.astype(dt), emb[...]) + pe[pl.ds(t, 1), :]
+        x = _dot(onehot.astype(dt), emb[...]) + pe[pl.ds(t, 1), 0, :]
         for l in range(L):
             xb = x.astype(dt)
             # -- self attention over the running KV cache --
             qkv = _dot(xb, w_qkv[l]) + b_qkv[l]        # [B,3E] f32
-            q = qkv[:, :E].astype(dt)
-            kc[l, :, pl.ds(t, 1), :] = qkv[:, None, E : 2 * E].astype(dt)
-            vc[l, :, pl.ds(t, 1), :] = qkv[:, None, 2 * E :].astype(dt)
+            # NB: qkv[:, None, E:2E]-style indexing (None + slice) lowers to
+            # lax.gather, which Mosaic rejects; lax.slice_in_dim stays slice
+            q = jax.lax.slice_in_dim(qkv, 0, E, axis=1).astype(dt)
+            k_t = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1).astype(dt)
+            v_t = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1).astype(dt)
+            kc[l, pl.ds(t, 1), :, :] = k_t[None]
+            vc[l, pl.ds(t, 1), :, :] = v_t[None]
             ctx = attend_cached(q, kc[l], vc[l], t, masked=True)
             a = _dot(ctx.astype(dt), w_out[l]) + b_out[l]
             x = ln(x + a, n1_s, n1_b, l)
@@ -276,27 +294,36 @@ def fused_greedy_decode(
         return x.astype(dt) if x.dtype in (jnp.float32, jnp.bfloat16) else x
 
     w = FusedDecodeWeights(*[cast(x) for x in weights])
-    # positional rows and the selection matrix stay float32 (cast in-kernel)
-    w = w._replace(pe=weights.pe.astype(jnp.float32))
+    # positional rows stay float32 and are laid out [T, 1, E] so the per-step
+    # row load indexes a leading (non-tiled) dim
+    w = w._replace(pe=weights.pe.astype(jnp.float32)[:, None, :])
     sel = jnp.asarray(head_select_matrix(E, num_heads))
+    sel_t = sel.T
 
     kernel = functools.partial(
         _decode_kernel, L=L, num_heads=num_heads, go_id=go_id, eps=eps
     )
-    vspec = pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
-    n_in = len(w) + 3
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = len(w) + 4
     logits = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, B, C), jnp.float32),
         in_specs=[vspec] * n_in,
         out_specs=vspec,
         scratch_shapes=[
-            pltpu.VMEM((L, B, T, E), dt),
-            pltpu.VMEM((L, B, T, E), dt),
+            pltpu.VMEM((L, T, B, E), dt),
+            pltpu.VMEM((L, T, B, E), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*w, cross_k.astype(dt), cross_v.astype(dt), sel)
+    )(
+        *w,
+        # time-major cross K/V to match the cache layout
+        jnp.swapaxes(cross_k, 1, 2).astype(dt),
+        jnp.swapaxes(cross_v, 1, 2).astype(dt),
+        sel,
+        sel_t,
+    )
     return jnp.swapaxes(logits, 0, 1)  # [B, T, C]
