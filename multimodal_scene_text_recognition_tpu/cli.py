@@ -27,7 +27,11 @@ from .core.config import Config, apply_overrides
 def _load_dataset(cfg: Config, split_sizes=None):
     name = cfg.data.dataset
     if name == "synthetic":
-        from .data.synthetic import make_dataset, random_vocab
+        from .data.synthetic import (
+            make_dataset,
+            make_packed_dataset,
+            random_vocab,
+        )
 
         n_train = cfg.data.synthetic_train_size
         n_val = cfg.data.synthetic_val_size
@@ -38,11 +42,18 @@ def _load_dataset(cfg: Config, split_sizes=None):
             vocab = random_vocab(cfg.data.synthetic_vocab_size,
                                  seed=cfg.train.seed)
         cache = cfg.data.synthetic_cache_dir or None
+        if cache:
+            # packed path: uint8 arrays end-to-end, no per-sample objects
+            codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+            return (
+                make_packed_dataset(codec, n_train, seed=cfg.train.seed,
+                                    vocab_words=vocab, cache_dir=cache),
+                make_packed_dataset(codec, n_val, seed=cfg.train.seed + 1,
+                                    vocab_words=vocab, cache_dir=cache),
+            )
         return (
-            make_dataset(n_train, seed=cfg.train.seed, vocab_words=vocab,
-                         cache_dir=cache),
-            make_dataset(n_val, seed=cfg.train.seed + 1, vocab_words=vocab,
-                         cache_dir=cache),
+            make_dataset(n_train, seed=cfg.train.seed, vocab_words=vocab),
+            make_dataset(n_val, seed=cfg.train.seed + 1, vocab_words=vocab),
         )
     if name == "cocotext":
         from .data.cocotext import get_cocotext_datasets

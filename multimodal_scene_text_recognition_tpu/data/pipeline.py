@@ -62,6 +62,8 @@ class PackedSamples:
 
     @classmethod
     def from_samples(cls, samples: Sequence, codec: AttnCodec) -> "PackedSamples":
+        if isinstance(samples, cls):
+            return samples
         labels = [s.label for s in samples]
         text, _ = codec.encode(labels)
         return cls(
@@ -76,6 +78,18 @@ class PackedSamples:
 
     def __len__(self):
         return len(self.labels)
+
+    def __getitem__(self, i: int):
+        """Sample-like view (``.image .label .overlap .scene .ious
+        .anno_id``) so packed corpora satisfy the Sequence-of-samples
+        protocol used by head-batch construction and spot checks."""
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            image=self.image[i], label=self.labels[i],
+            overlap=self.overlap[i], scene=self.scene[i],
+            ious=self.ious[i], anno_id=self.anno_id[i],
+        )
 
     def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         return {
@@ -132,8 +146,13 @@ class Batcher:
     def collate(self, samples: Sequence) -> Dict[str, np.ndarray]:
         B = len(samples)
         text, _ = self.codec.encode([s.label for s in samples])
+        imgs = np.stack([s.image for s in samples])
+        if imgs.dtype != np.uint8:
+            # uint8 stays uint8 on the wire (prep_image normalizes on
+            # device); a float cast here would skip that normalization
+            imgs = imgs.astype(np.float32)
         return {
-            "image": np.stack([s.image for s in samples]).astype(np.float32),
+            "image": imgs,
             "text": text,
             "overlap": np.stack([s.overlap for s in samples]).astype(np.int32),
             "scene": np.stack([s.scene for s in samples]).astype(np.int32),

@@ -188,3 +188,58 @@ def make_dataset(
             anno_id=np.asarray([s.anno_id for s in out], np.int64),
         )
     return out
+
+
+def make_packed_dataset(
+    codec,
+    size: int,
+    seed: int = 0,
+    max_len: int = 10,
+    chars: str = _CHARS_EASY,
+    vocab_words: Optional[Sequence[str]] = None,
+    num_obj_classes: int = 2000,
+    workers: int = 8,
+    cache_dir: Optional[str] = None,
+):
+    """Render (or load from cache) straight into a ``PackedSamples``.
+
+    For large corpora this is the only sane path: the per-sample object
+    list costs ~15x the packed uint8 arrays in host RAM and minutes of
+    reconstruction (a 500k-crop set is 1.6 GB packed vs tens of GB as
+    float32 sample objects).
+    """
+    import os
+
+    from .pipeline import PackedSamples
+
+    if cache_dir:
+        # probe the same cache key make_dataset uses
+        import hashlib
+
+        vocab_key = "open" if vocab_words is None else hashlib.sha1(
+            "\n".join(vocab_words).encode()).hexdigest()[:10]
+        chars_key = hashlib.sha1(chars.encode()).hexdigest()[:6]
+        cache_path = os.path.join(
+            cache_dir,
+            f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}.npz",
+        )
+        if os.path.exists(cache_path):
+            z = np.load(cache_path, allow_pickle=False)
+            labels = [str(l) for l in z["labels"]]
+            text, _ = codec.encode(labels)
+            return PackedSamples(
+                image=z["image"],  # stays uint8 end-to-end
+                text=np.asarray(text, np.int32),
+                overlap=z["overlap"].astype(np.int32),
+                scene=z["scene"].astype(np.int32),
+                ious=z["ious"].astype(np.float32),
+                anno_id=z["anno_id"].astype(np.int64),
+                labels=labels,
+            )
+
+    samples = make_dataset(
+        size, seed=seed, max_len=max_len, chars=chars,
+        vocab_words=vocab_words, num_obj_classes=num_obj_classes,
+        workers=workers, cache_dir=cache_dir,
+    )
+    return PackedSamples.from_samples(samples, codec)

@@ -351,3 +351,35 @@ def test_native_crop_loader_matches_pil(tmp_path):
     b = load_crop_native(p, bbox)
     assert a.shape == b.shape == (32, 100, 1)
     assert np.abs(a - b).mean() < 0.01
+
+
+def test_make_packed_dataset_cache_roundtrip(tmp_path):
+    """Cached corpora load straight into PackedSamples (uint8 end-to-end),
+    and the packed object satisfies the sample-sequence protocol."""
+    from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec
+    from multimodal_scene_text_recognition_tpu.data.pipeline import (
+        Batcher,
+        PackedSamples,
+    )
+    from multimodal_scene_text_recognition_tpu.data.synthetic import (
+        make_packed_dataset,
+    )
+
+    codec = AttnCodec("".join(chr(33 + i) for i in range(94)), 25)
+    d = str(tmp_path)
+    p1 = make_packed_dataset(codec, 96, seed=7, cache_dir=d)   # renders+saves
+    p2 = make_packed_dataset(codec, 96, seed=7, cache_dir=d)   # loads npz
+    assert isinstance(p2, PackedSamples)
+    assert p2.image.dtype == np.uint8
+    assert p1.labels == p2.labels
+    assert np.array_equal(p1.text, p2.text)
+    assert np.abs(p1.image.astype(int) - p2.image.astype(int)).max() <= 1
+
+    # PackedSamples.from_samples short-circuits on packed input
+    assert PackedSamples.from_samples(p2, codec) is p2
+
+    # sample-like views + uint8-preserving collate
+    s = p2[3]
+    assert s.label == p2.labels[3] and s.image.dtype == np.uint8
+    batch = Batcher(codec, 8).collate([p2[i] for i in range(8)])
+    assert batch["image"].dtype == np.uint8
