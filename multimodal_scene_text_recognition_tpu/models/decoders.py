@@ -472,9 +472,9 @@ class TransformerDecoder(nn.Module):
         fused_ok = self.fused and not (
             self.multihead_pre_target or self.multihead_pre_memory
             or self.multihead_post_memory or self.cls_decoder_init
-            or self.early_stop
         )
         if fused_ok:
+            from ..core.charset import EOS_ID
             from ..ops.fused_decode import (
                 fused_greedy_decode,
                 stack_decoder_weights,
@@ -495,6 +495,7 @@ class TransformerDecoder(nn.Module):
                 jnp.stack(ck), jnp.stack(cv),
                 num_heads=self.num_heads, steps=T,
                 dtype=jnp.dtype(self.dtype), go_id=GO_ID,
+                eos_id=EOS_ID if self.early_stop else None,
                 interpret=jax.default_backend() != "tpu",
             )
             if self.post_decoder_mlp:

@@ -164,7 +164,7 @@ def _decode_kernel(
     ck, cv, sel, sel_t,   # cross K/V [L,Tm,B,E], head-select S/[S^T]
     logits_ref,           # out: [T, B, C] float32
     kc, vc,               # scratch: [L, T, B, E] self-attn caches
-    *, L: int, num_heads: int, go_id: int, eps: float,
+    *, L: int, num_heads: int, go_id: int, eps: float, eos_id=None,
 ):
     # time is the LEADING axis of every cached tensor ([T, B, E] slices):
     # dynamic stores/loads at step t then index a non-tiled dimension —
@@ -260,13 +260,37 @@ def _decode_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     onehot0 = (col == go_id).astype(jnp.float32)
-    jax.lax.fori_loop(0, T, step, onehot0)
+
+    if eos_id is None:
+        jax.lax.fori_loop(0, T, step, onehot0)
+    else:
+        # early stop: exit once every row has emitted [s].  Unvisited
+        # positions keep the prefilled [s]-argmax rows, so [s]-pruned
+        # decoded strings match the full loop exactly (positions past the
+        # stop token are never read by the codec).
+        pos = jax.lax.broadcasted_iota(jnp.int32, (T, B, C), 2)
+        logits_ref[...] = (pos == eos_id).astype(jnp.float32)
+
+        def cond(carry):
+            t, _, done = carry
+            return jnp.logical_and(t < T, jnp.sum(done) < B)
+
+        def wbody(carry):
+            t, onehot, done = carry
+            nxt = step(t, onehot)
+            eos_now = jax.lax.slice_in_dim(nxt, eos_id, eos_id + 1, axis=1)
+            return (t + 1, nxt, jnp.maximum(done, eos_now))
+
+        jax.lax.while_loop(
+            cond, wbody,
+            (jnp.int32(0), onehot0, jnp.zeros((B, 1), jnp.float32)),
+        )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "steps", "dtype", "go_id", "eps",
-                     "interpret"),
+                     "eos_id", "interpret"),
 )
 def fused_greedy_decode(
     weights: FusedDecodeWeights,
@@ -278,12 +302,15 @@ def fused_greedy_decode(
     dtype=jnp.bfloat16,
     go_id: int = 0,
     eps: float = 1e-5,
+    eos_id=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused greedy decode. Returns logits [B, steps, C] float32.
 
     cross_k/cross_v: [L, B, Tm, E] memory projections (qkv_projections of the
-    encoder output per layer, stacked).
+    encoder output per layer, stacked).  With ``eos_id`` set the in-kernel
+    loop exits once every row has emitted that token (early stop — ~3x
+    fewer steps on trained models); [s]-pruned strings are unchanged.
     """
     dt = jnp.dtype(dtype)
     L, B, _, E = cross_k.shape
@@ -301,7 +328,8 @@ def fused_greedy_decode(
     sel_t = sel.T
 
     kernel = functools.partial(
-        _decode_kernel, L=L, num_heads=num_heads, go_id=go_id, eps=eps
+        _decode_kernel, L=L, num_heads=num_heads, go_id=go_id, eps=eps,
+        eos_id=eos_id,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_in = len(w) + 4

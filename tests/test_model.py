@@ -289,3 +289,38 @@ def test_fused_decode_falls_back_for_unsupported_configs():
     fus = np.asarray(
         dec_fused.apply(variables, enc_out, None, sem, train=False))
     np.testing.assert_allclose(ref, fus, atol=1e-5)
+
+
+def test_fused_early_stop_decode_matches_scan_early_stop():
+    """The in-kernel while_loop early stop (fused=True, early_stop=True)
+    produces the same [s]-pruned strings as the XLA while_loop path."""
+    from multimodal_scene_text_recognition_tpu.core.charset import (
+        AttnCodec,
+        EOS_ID,
+    )
+    from multimodal_scene_text_recognition_tpu.models.decoders import (
+        TransformerDecoder,
+    )
+
+    B, H, E, T = 4, 64, 32, 25
+    common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
+                  ff_dim=64, num_layers=2, dropout=0.0, max_text_length=T,
+                  early_stop=True)
+    dec_scan = TransformerDecoder(**common)
+    dec_fused = TransformerDecoder(**common, fused=True)
+    enc_out = jnp.asarray(RNG.standard_normal((B, 26, H)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec_scan.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, 26), jnp.int32), None, train=True,
+    )
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 2.0 * jax.nn.one_hot(EOS_ID, 97)
+        if any(getattr(p, "key", None) == "emb_to_classes" for p in path)
+        and v.ndim == 1 else v,
+        variables,
+    )
+    a = np.asarray(dec_scan.apply(variables, enc_out, None, None, train=False))
+    b = np.asarray(dec_fused.apply(variables, enc_out, None, None, train=False))
+    codec = AttnCodec("".join(chr(33 + i) for i in range(94)), T)
+    assert codec.decode(a.argmax(-1)) == codec.decode(b.argmax(-1))
