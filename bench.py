@@ -127,6 +127,23 @@ def bench_train(model, variables, batch, iters=10, warmup=2):
     return {"crops_per_sec": batch_size / dt, "step_ms": dt * 1e3}
 
 
+def bench_int8(model, variables, batch, iters=20):
+    """Throughput of the int8-PTQ-backbone pipeline (fixed-length decode)."""
+    from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
+        make_int8_eval_step,
+    )
+
+    step, qsites = make_int8_eval_step(model, variables, batch)
+    B = batch["image"].shape[0]
+    np.asarray(step(variables, qsites, batch))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step(variables, qsites, batch)
+    np.asarray(out)
+    return B / ((time.perf_counter() - t0) / iters)
+
+
 def cpu_baseline(cfg: ModelConfig) -> float:
     """One-time CPU denominator, cached."""
     if os.path.exists(CACHE):
@@ -251,6 +268,16 @@ def main():
     dec = _retry(lambda: bench_decode(model, variables, batch), label="decode")
     log(f"decode: {dec['crops_per_sec']:.1f} crops/s, "
         f"p50 {dec['p50_latency_ms']:.2f} ms, p90 {dec['p90_latency_ms']:.2f} ms")
+
+    # int8 PTQ backbone serving mode (models/resnet_int8.py): quantize on
+    # the bench batch and measure the spliced pipeline (fixed-length decode)
+    try:
+        int8 = _retry(lambda: bench_int8(model, variables, batch),
+                      label="int8")
+        log(f"int8 backbone: {int8:.1f} crops/s")
+    except Exception as e:
+        log(f"int8 bench failed: {e}")
+        int8 = None
     try:
         tr = _retry(lambda: bench_train(model, variables, batch), label="train")
     except Exception:
@@ -277,6 +304,8 @@ def main():
             "p50_latency_ms": round(dec["p50_latency_ms"], 2),
             "train_crops_per_sec": round(tr["crops_per_sec"], 1),
             "train_step_ms": round(tr["step_ms"], 2),
+            "int8_backbone_crops_per_sec":
+                round(int8, 1) if int8 else None,
         },
     }))
 

@@ -138,6 +138,24 @@ class SceneTextModel(nn.Module):
         return self.decoder(encoded, text, semantics=semantics, train=train)
 
 
+    def rectify(self, image: jnp.ndarray) -> jnp.ndarray:
+        """TPS rectification only (for pipelines that splice in a custom
+        backbone, e.g. the int8 PTQ ResNet — models/resnet_int8.py)."""
+        return self.transformation(image, train=False)
+
+    def decode_from_columns(
+        self,
+        cols: jnp.ndarray,
+        overlap: jnp.ndarray,
+        scene: jnp.ndarray,
+        ious: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Semantic + encoder + decoder from precomputed column features
+        [B, W', H] (counterpart of :meth:`rectify` for spliced backbones)."""
+        semantics = self.semantic(overlap, scene, ious)
+        encoded = self.encoder(cols, semantics=semantics, train=False)
+        return self.decoder(encoded, None, semantics=semantics, train=False)
+
     def beam_decode(
         self,
         image: jnp.ndarray,

@@ -1,0 +1,259 @@
+"""Int8 post-training-quantized ResNet-31 inference backbone.
+
+The backbone is where the recognizer's FLOPs live (~10 ms of the ~22 ms
+B=192 batch on one v5e); the chip's int8 path runs these convs 2-2.9x
+faster than bf16 (scripts/probe_int8_conv.py).  This module provides a
+pure-function int8 forward for serving:
+
+  * BatchNorm is an affine at eval time — folded into the conv weights
+    (per-output-channel scale) and a bias;
+  * weights: symmetric per-output-channel int8 (max-abs / 127);
+  * activations: symmetric per-tensor int8 with STATIC scales taken from a
+    calibration batch (abs-max of each conv input);
+  * convs run int8 x int8 -> int32 on the MXU; dequant + bias + residual +
+    ReLU happen in float32 on the VPU; max-pools run on the int8 tensor
+    (max commutes with the monotonic quantization).
+
+The graph mirrors models/resnet.ResNet31 exactly (stage widths/counts and
+the asymmetric (2,1) reductions of reference feature_extraction.py:78-87).
+Quantization is a pure transform of the trained checkpoint — no retraining.
+Typical cost on the trained flagship model: <0.2% word accuracy.
+
+This is a deployment capability beyond the reference (which has no
+quantized inference path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QConv(NamedTuple):
+    """One BN-folded, weight-quantized conv site."""
+
+    kernel_q: jnp.ndarray   # int8 [kh, kw, ci, co]
+    w_scale: jnp.ndarray    # f32 [co]   (kernel = kernel_q * w_scale)
+    bias: jnp.ndarray       # f32 [co]   (folded BN shift)
+    x_scale: jnp.ndarray    # f32 scalar (activation quant step / 127)
+
+
+def _fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """conv(x, W) -> BN  ==  conv(x, W * a) + c with a,c per out-channel."""
+    a = bn_scale / np.sqrt(bn_var + eps)
+    return kernel * a[None, None, None, :], bn_bias - bn_mean * a
+
+
+def _plan(oc: int, layers: Sequence[int]):
+    """Execution plan mirroring ResNet31.__call__ (kept in lockstep)."""
+    plan = [
+        ("conv", "stem0", (3, 3), (1, 1), 1),
+        ("conv", "stem1", (3, 3), (1, 1), 1),
+        ("pool", (2, 2), (2, 2), None),
+        *[("block", f"block1_{i}") for i in range(layers[0])],
+        ("conv", "trans1", (3, 3), (1, 1), 1),
+        ("pool", (2, 2), (2, 2), None),
+        *[("block", f"block2_{i}") for i in range(layers[1])],
+        ("conv", "trans2", (3, 3), (1, 1), 1),
+        ("pool", (2, 2), (2, 1), ((0, 0), (1, 1))),
+        *[("block", f"block3_{i}") for i in range(layers[2])],
+        ("conv", "trans3", (3, 3), (1, 1), 1),
+        *[("block", f"block4_{i}") for i in range(layers[3])],
+        ("conv", "trans4a", (2, 2), (2, 1), ((0, 0), (1, 1))),
+        ("conv", "trans4b", (2, 2), (1, 1), ((0, 0), (0, 0))),
+    ]
+    return plan
+
+
+def _conv_sites(params, stats):
+    """(site-name -> folded f32 kernel + bias) for every conv in the plan."""
+    sites = {}
+
+    def fold(conv_name, bn_name):
+        k = np.asarray(params[conv_name]["kernel"], np.float32)
+        bn_p, bn_s = params[bn_name], stats[bn_name]
+        return _fold_bn(
+            k, np.asarray(bn_p["scale"], np.float32),
+            np.asarray(bn_p["bias"], np.float32),
+            np.asarray(bn_s["mean"], np.float32),
+            np.asarray(bn_s["var"], np.float32),
+        )
+
+    for name in params:
+        if name.endswith("_conv"):
+            sites[name[: -len("_conv")]] = fold(name, name[: -len("_conv")] + "_bn")
+        elif name.startswith("block"):
+            blk_p, blk_s = params[name], stats[name]
+            for c, b in (("conv1", "bn1"), ("conv2", "bn2"),
+                         ("downsample_conv", "downsample_bn")):
+                if c in blk_p:
+                    k = np.asarray(blk_p[c]["kernel"], np.float32)
+                    kf, bias = _fold_bn(
+                        k, np.asarray(blk_p[b]["scale"], np.float32),
+                        np.asarray(blk_p[b]["bias"], np.float32),
+                        np.asarray(blk_s[b]["mean"], np.float32),
+                        np.asarray(blk_s[b]["var"], np.float32),
+                    )
+                    sites[f"{name}/{c}"] = (kf, bias)
+    return sites
+
+
+def _conv(x, kernel, strides, padding, acc_dtype):
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_dtype,
+    )
+
+
+def _forward(
+    sites: Dict,
+    x: jnp.ndarray,
+    oc: int,
+    layers: Sequence[int],
+    record: Optional[Dict] = None,
+):
+    """Mirror of ResNet31.__call__.
+
+    ``sites`` maps site name -> (f32 kernel, bias) for calibration mode
+    (record is a dict collecting per-site input abs-max) or -> QConv for
+    int8 mode.
+    """
+
+    def site_conv(h, name, strides=(1, 1), padding=1, relu=True, kernel=None):
+        del kernel
+        s = sites[name]
+        if record is not None:
+            record[name] = jnp.maximum(
+                record.get(name, 0.0), jnp.max(jnp.abs(h)).astype(jnp.float32)
+            )
+            kf, bias = s
+            out = _conv(h, jnp.asarray(kf), strides, padding, jnp.float32)
+            out = out + bias[None, None, None, :]
+        else:
+            q: QConv = s
+            inv = 1.0 / q.x_scale
+            hq = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+            out32 = _conv(hq, q.kernel_q, strides, padding, jnp.int32)
+            deq = q.x_scale * q.w_scale  # [co]
+            out = out32.astype(jnp.float32) * deq[None, None, None, :]
+            out = out + q.bias[None, None, None, :]
+        return jax.nn.relu(out) if relu else out
+
+    def block(h, name, planes):
+        residual = h
+        out = site_conv(h, f"{name}/conv1")
+        out = site_conv(out, f"{name}/conv2", relu=False)
+        if h.shape[-1] != planes:
+            residual = site_conv(h, f"{name}/downsample_conv",
+                                 padding=0, relu=False)
+        return jax.nn.relu(out + residual)
+
+    stage_ch = (oc // 4, oc // 2, oc, oc)
+    x = x.astype(jnp.float32)
+    for op in _plan(oc, layers):
+        if op[0] == "conv":
+            _, name, kern, strides, padding = op
+            x = site_conv(x, name, strides=strides, padding=padding)
+        elif op[0] == "pool":
+            _, window, strides, padding = op
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1,) + window + (1,),
+                (1,) + strides + (1,),
+                "VALID" if padding is None else
+                ((0, 0),) + padding + ((0, 0),),
+            )
+        else:
+            _, name = op
+            stage = int(name[5])  # block<N>_<i>
+            x = block(x, name, stage_ch[stage - 1])
+    return x
+
+
+def quantize_resnet(
+    variables: Dict,
+    calib_images: jnp.ndarray,
+    output_channels: int = 512,
+    layers: Sequence[int] = (1, 2, 5, 3),
+    backbone_scope: str = "feature_extractor",
+) -> Dict[str, QConv]:
+    """PTQ of the trained backbone.
+
+    variables: the model's {'params', 'batch_stats'} tree; calib_images:
+    [N, 32, 100, 1] float32 in [0, 1] ALREADY rectified? No — calibration
+    runs on backbone INPUTS, so pass the TPS-rectified crops (use
+    SceneTextModel.rectify).  Returns site-name -> QConv.
+    """
+    params = variables["params"][backbone_scope]
+    stats = variables["batch_stats"][backbone_scope]
+    folded = _conv_sites(params, stats)
+
+    record: Dict = {}
+    _forward(folded, jnp.asarray(calib_images, jnp.float32),
+             output_channels, layers, record=record)
+
+    qsites = {}
+    for name, (kf, bias) in folded.items():
+        absmax = np.abs(kf).max(axis=(0, 1, 2))
+        w_scale = np.maximum(absmax, 1e-12) / 127.0
+        kq = np.clip(np.round(kf / w_scale[None, None, None, :]),
+                     -127, 127).astype(np.int8)
+        x_scale = float(np.asarray(record[name])) / 127.0
+        qsites[name] = QConv(
+            kernel_q=jnp.asarray(kq),
+            w_scale=jnp.asarray(w_scale, jnp.float32),
+            bias=jnp.asarray(bias, jnp.float32),
+            x_scale=jnp.float32(max(x_scale, 1e-12)),
+        )
+    return qsites
+
+
+def resnet31_int8_forward(
+    qsites: Dict[str, QConv],
+    x: jnp.ndarray,
+    output_channels: int = 512,
+    layers: Sequence[int] = (1, 2, 5, 3),
+) -> jnp.ndarray:
+    """Int8 inference forward: [B, 32, 100, 1] -> [B, 1, W/4+1, oc]."""
+    return _forward(qsites, x, output_channels, layers, record=None)
+
+
+def make_int8_eval_step(model, variables, calib_batch):
+    """Build a jitted greedy-decode step whose backbone runs int8.
+
+    Calibrates on ``calib_batch`` (a device batch dict with normalized or
+    uint8 images), then returns ``(eval_step, qsites)`` where
+    ``eval_step(variables, qsites, batch) -> predicted ids [B, T]``.
+    Splices: TPS (bf16) -> int8 ResNet -> columns -> encoder/decoder (the
+    model's own modules) — everything else identical to the float path.
+    """
+    from ..train.steps import prep_image
+    from .model import to_column_sequence
+
+    cfg = model.cfg
+    rectified = model.apply(
+        variables, prep_image(calib_batch["image"]),
+        method=type(model).rectify,
+    )
+    qsites = quantize_resnet(
+        variables, rectified, output_channels=cfg.hidden_dim,
+    )
+
+    def eval_step(variables, qsites, batch):
+        x = model.apply(variables, prep_image(batch["image"]),
+                        method=type(model).rectify)
+        feats = resnet31_int8_forward(
+            qsites, x, output_channels=cfg.hidden_dim)
+        cols = to_column_sequence(feats).astype(jnp.float32)
+        logits = model.apply(
+            variables, cols, batch["overlap"], batch["scene"], batch["ious"],
+            method=type(model).decode_from_columns,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    return jax.jit(eval_step), qsites
