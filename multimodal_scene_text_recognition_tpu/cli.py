@@ -44,7 +44,9 @@ def _load_dataset(cfg: Config, split_sizes=None):
         cache = cfg.data.synthetic_cache_dir or None
         if cache:
             # packed path: uint8 arrays end-to-end, no per-sample objects
-            codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+            from .train.loop import build_codec
+
+            codec = build_codec(cfg)
             return (
                 make_packed_dataset(codec, n_train, seed=cfg.train.seed,
                                     vocab_words=vocab, cache_dir=cache),
@@ -186,8 +188,19 @@ def main(argv=None):
         cfg = apply_overrides(cfg, {"saved_model": args.checkpoint})
     cfg = apply_overrides(cfg, args.set)
 
+    # multi-host: no-op single-process; joins the jax.distributed cluster
+    # when launched with the recipe in parallel/mesh.init_distributed
+    from .parallel.mesh import init_distributed
+
+    n_proc = init_distributed()
+    if n_proc > 1:
+        print(f"  - distributed: {n_proc} processes, "
+              f"{len(__import__('jax').devices())} global devices")
+
     model = _build(cfg)
-    codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+    from .train.loop import build_codec
+
+    codec = build_codec(cfg)
     train_samples, val_samples = _load_dataset(cfg)
 
     from .data.pipeline import Batcher, batches, device_batch

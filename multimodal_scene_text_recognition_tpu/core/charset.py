@@ -16,7 +16,7 @@ training_functions.py:186-189): join symbols then cut at the first '[s]'.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -98,11 +98,17 @@ class AttnCodec:
 class CTCCodec:
     """CTC codec: blank=0, chars shifted +1 (reference: utils.py:5-52).
 
-    Kept for capability parity with the reference's (dormant) CTC path.
+    Drop-in codec for the CTC training recipe (``train.loss=ctc`` +
+    ``model.decoder=linear`` + ``model.label_codec=ctc``): ``encode``
+    matches AttnCodec's call signature so PackedSamples/Batcher work
+    unchanged, and ``decode`` greedy-collapses raw per-column argmax rows
+    (remove repeats, then blanks) when no lengths are given — the standard
+    CTC best-path decode the reference's converter supports but never wires.
     """
 
-    def __init__(self, chars: str):
+    def __init__(self, chars: str, max_text_length: int = 25):
         self.chars = chars
+        self.max_text_length = max_text_length
         self.itos = ["[CTCblank]"] + list(chars)
         self.stoi = {c: i + 1 for i, c in enumerate(chars)}
 
@@ -111,20 +117,30 @@ class CTCCodec:
         return len(self.itos)
 
     def encode(
-        self, texts: Sequence[str], max_len: int = 25
+        self, texts: Sequence[str], max_len: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
+        max_len = self.max_text_length if max_len is None else max_len
         B = len(texts)
         out = np.zeros((B, max_len), dtype=np.int32)
         lengths = np.zeros((B,), dtype=np.int32)
         for i, t in enumerate(texts):
             ids = [self.stoi[c] for c in t]
+            if len(ids) > max_len:
+                raise ValueError(
+                    f"text longer than max_text_length={max_len}: {t!r}")
             out[i, : len(ids)] = ids
             lengths[i] = len(ids)
         return out, lengths
 
-    def decode(self, indices: np.ndarray, lengths: Sequence[int]) -> List[str]:
+    def decode(
+        self, indices: np.ndarray, lengths: Optional[Sequence[int]] = None
+    ) -> List[str]:
+        indices = np.asarray(indices)
+        if lengths is None:
+            # greedy best-path collapse over full rows (validation decode)
+            lengths = [indices.shape[1]] * indices.shape[0]
         texts = []
-        for row, l in zip(np.asarray(indices), lengths):
+        for row, l in zip(indices, lengths):
             chars = []
             prev = -1
             for i in row[: int(l)]:

@@ -81,12 +81,28 @@ class ModelConfig:
     # run the greedy decode as ONE fused Pallas kernel (weights, cross K/V
     # and KV caches all resident in VMEM for the whole loop) — see
     # ops/fused_decode.py.  Falls back to the XLA scan for configs the
-    # kernel doesn't cover (per-layer fusion sites, cls_decoder_init).
+    # kernel doesn't cover (per-layer fusion sites).
     decode_fused: bool = False
+
+    # int8-quantize the fused decode kernel's six projection matmuls
+    # (per-channel int8 weights, dynamic per-row activation quant, f32
+    # accumulation — ops/fused_decode.quantize_fused_weights).  Only takes
+    # effect together with ``decode_fused``; PTQ, no retraining.
+    decode_int8: bool = False
+
+    # int8-quantize the TF encoder's attention projections + FF matmuls at
+    # inference (ops/int8.py, same PTQ recipe); training stays float.
+    encoder_int8: bool = False
 
     # --- text geometry (reference: config.py:19-20) ---
     max_text_length: int = 25
     chars: str = DEFAULT_CHARS
+
+    # label/class space: "attn" = [GO]/[s]/[PAD] + chars (AttnCodec, the
+    # attention-decoder recipe); "ctc" = blank + chars (CTCCodec — pair
+    # with ``decoder=linear`` and ``train.loss=ctc``; reference utils.py:5-52
+    # ships the converter but never wires the criterion).
+    label_codec: str = "attn"
 
     # --- numerics ---
     # bfloat16 compute with float32 params/accumulation is the TPU-native
@@ -99,6 +115,9 @@ class ModelConfig:
 
     @property
     def num_classes(self) -> int:
+        if self.label_codec == "ctc":
+            # [CTCblank] + charset (reference: utils.py:9-16)
+            return 1 + len(self.chars)
         # [GO], [s], [PAD] + charset (reference: utils.py:108-111)
         return 3 + len(self.chars)
 
@@ -134,6 +153,11 @@ class TrainConfig:
     validation_steps: int = 2000        # (reference: run.py:33)
     iteration_limit: Optional[int] = None
     model_save_threshold: float = 0.0   # (reference: config.py:21)
+    # training criterion: "ce" = the reference's CrossEntropy recipe over
+    # teacher-forced targets; "ctc" = CTC over per-column logits (requires
+    # model.decoder=linear + model.label_codec=ctc — the path the reference
+    # ships converters for, utils.py:5-99, but never wires).
+    loss: str = "ce"
     # The reference's CrossEntropyLoss(ignore_index=0) ignores [GO] but *counts
     # [PAD]* in the loss (training_functions.py:36).  True replicates that
     # quirk; False additionally masks [PAD].
@@ -166,6 +190,13 @@ class DataConfig:
     textocr_object_tags_path: str = "./annotations/features/open_images_vinvl_features.json"
     deep_text_dataset_path: str = "./data/deep_text_datasets/"
     class_labels_dir: str = "./assets/features/"
+    # batch-balanced multi-source sampling for data.dataset=synth
+    # (reference dataset.py:17-100 Batch_Balanced_Dataset): "MJ,ST" ratios
+    # as comma floats, e.g. "0.5,0.5".  Empty = plain concatenation.
+    mixture_ratios: str = ""
+    # keep-ratio resize + border right-pad instead of squash-resize
+    # (reference dataset.py:270-326 NormalizePAD/AlignCollate).
+    keep_ratio: bool = False
     num_workers: int = 8
     prefetch_batches: int = 4
     # synthetic-set sizes for the self-contained train/bench path

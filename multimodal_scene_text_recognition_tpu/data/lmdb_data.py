@@ -39,12 +39,14 @@ class LmdbReader:
         img_h: int = 32,
         img_w: int = 100,
         filter_charset: bool = True,
+        keep_ratio: bool = False,
     ):
         import lmdb
 
         self.root = root
         self.img_h, self.img_w = img_h, img_w
         self.chars = chars
+        self.keep_ratio = keep_ratio
         self.env = lmdb.open(
             root, max_readers=32, readonly=True, lock=False,
             readahead=False, meminit=False,
@@ -79,8 +81,14 @@ class LmdbReader:
             buf = txn.get(b"image-%09d" % idx)
         try:
             img = Image.open(io.BytesIO(buf)).convert("L")
-            img = img.resize((self.img_w, self.img_h), Image.BILINEAR)
-            arr = (np.asarray(img, np.float32) / 255.0)[..., None]
+            if self.keep_ratio:
+                # aspect-preserving resize + border right-pad
+                # (reference dataset.py:270-326 AlignCollate keep_ratio)
+                raw = (np.asarray(img, np.float32) / 255.0)[..., None]
+                arr = keep_ratio_resize(raw, self.img_h, self.img_w)
+            else:
+                img = img.resize((self.img_w, self.img_h), Image.BILINEAR)
+                arr = (np.asarray(img, np.float32) / 255.0)[..., None]
         except OSError:
             # corrupted-image dummy substitution (reference: 457-461)
             arr = np.zeros((self.img_h, self.img_w, 1), np.float32)
@@ -163,22 +171,44 @@ def keep_ratio_resize(
 
 
 def get_synth_datasets(cfg: Config):
-    """MJ + ST training mixture and the benchmark validation LMDB
-    (reference: coco_dataset.py:128-145)."""
+    """MJ + ST training corpus and the benchmark validation LMDB
+    (reference: coco_dataset.py:128-145).
+
+    With ``data.mixture_ratios`` (e.g. "0.5,0.5") the train side is a
+    :class:`BalancedMixture` over [MJ, ST] — each batch draws the
+    configured quota from each source, sources rewind independently
+    (reference dataset.py:17-100); otherwise plain concatenation.
+    ``data.keep_ratio`` routes every crop through the aspect-preserving
+    pad collate (reference dataset.py:270-326)."""
     base = cfg.data.deep_text_dataset_path
     chars = cfg.model.chars
 
     def reader(rel):
         return LmdbReader(os.path.join(base, rel), chars,
                           cfg.model.max_text_length,
-                          cfg.model.img_h, cfg.model.img_w)
+                          cfg.model.img_h, cfg.model.img_w,
+                          keep_ratio=cfg.data.keep_ratio)
 
-    train = ConcatSamples([
+    mj = ConcatSamples([
         reader("training/MJ/MJ_train/"),
         reader("training/MJ/MJ_test/"),
         reader("training/MJ/MJ_valid/"),
-        reader("training/ST/"),
     ])
+    st = reader("training/ST/")
+    if cfg.data.mixture_ratios:
+        ratios = [float(r) for r in cfg.data.mixture_ratios.split(",")]
+        if len(ratios) != 2:
+            raise ValueError(
+                "data.mixture_ratios must be two comma floats (MJ,ST), got "
+                f"{cfg.data.mixture_ratios!r}")
+        train = BalancedMixture([mj, st], ratios, cfg.train.batch_size,
+                                seed=cfg.train.seed)
+        n_train = len(mj) + len(st)
+    else:
+        train = ConcatSamples([mj, st])
+        n_train = len(train)
     val = reader("validation/")
-    print(f"  - synth: {len(train)} train / {len(val)} val samples")
+    print(f"  - synth: {n_train} train / {len(val)} val samples"
+          + (f" (balanced mixture {cfg.data.mixture_ratios})"
+             if cfg.data.mixture_ratios else ""))
     return train, val

@@ -66,8 +66,16 @@ class PackedSamples:
             return samples
         labels = [s.label for s in samples]
         text, _ = codec.encode(labels)
+        # quantize per-sample straight into the preallocated uint8 pack —
+        # never materialize the corpus as float32 (a 500k-crop set would be
+        # a ~6.4 GB transient; peak extra memory here is one crop)
+        n = len(samples)
+        first = np.asarray(samples[0].image)
+        image = np.empty((n,) + first.shape, np.uint8)
+        for i, s in enumerate(samples):
+            image[i] = quantize_images(np.asarray(s.image))
         return cls(
-            image=quantize_images(np.stack([s.image for s in samples])),
+            image=image,
             text=np.asarray(text, np.int32),
             overlap=np.stack([s.overlap for s in samples]).astype(np.int32),
             scene=np.stack([s.scene for s in samples]).astype(np.int32),

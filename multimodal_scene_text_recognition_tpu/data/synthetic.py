@@ -43,6 +43,27 @@ def _font(size: int):
 
 _FONT_CACHE: dict = {}
 
+# bump when _render output changes — part of the cache key so stale renders
+# are never silently reused
+_RENDER_VERSION = 1
+
+
+def _cache_names(size, seed, max_len, chars, vocab_words, num_obj_classes):
+    """Cache basenames: current key first, then legacy fallbacks whose
+    content is identical (pre-round-2 files omitted num_obj_classes and the
+    render version from the key; their default-parameter content matches)."""
+    import hashlib
+
+    vocab_key = "open" if vocab_words is None else hashlib.sha1(
+        "\n".join(vocab_words).encode()).hexdigest()[:10]
+    chars_key = hashlib.sha1(chars.encode()).hexdigest()[:6]
+    current = (f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}"
+               f"_o{num_obj_classes}_v{_RENDER_VERSION}.npz")
+    names = [current]
+    if num_obj_classes == 2000:
+        names.append(f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}.npz")
+    return names
+
 
 @dataclass
 class SyntheticSample:
@@ -111,28 +132,25 @@ def make_dataset(
 
     cache_path = None
     if cache_dir:
-        import hashlib
         import os
 
-        vocab_key = "open" if vocab_words is None else hashlib.sha1(
-            "\n".join(vocab_words).encode()).hexdigest()[:10]
-        chars_key = hashlib.sha1(chars.encode()).hexdigest()[:6]
-        cache_path = os.path.join(
-            cache_dir,
-            f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}.npz",
-        )
-        if os.path.exists(cache_path):
-            z = np.load(cache_path, allow_pickle=False)
-            labels = [l for l in z["labels"]]
-            img = z["image"].astype(np.float32) / 255.0
-            return [
-                SyntheticSample(
-                    anno_id=int(z["anno_id"][i]), image=img[i],
-                    label=str(labels[i]), overlap=z["overlap"][i],
-                    scene=z["scene"][i], ious=z["ious"][i],
-                )
-                for i in range(len(labels))
-            ]
+        names = _cache_names(size, seed, max_len, chars, vocab_words,
+                             num_obj_classes)
+        cache_path = os.path.join(cache_dir, names[0])
+        for name in names:
+            p = os.path.join(cache_dir, name)
+            if os.path.exists(p):
+                z = np.load(p, allow_pickle=False)
+                labels = [l for l in z["labels"]]
+                img = z["image"].astype(np.float32) / 255.0
+                return [
+                    SyntheticSample(
+                        anno_id=int(z["anno_id"][i]), image=img[i],
+                        label=str(labels[i]), overlap=z["overlap"][i],
+                        scene=z["scene"][i], ious=z["ious"][i],
+                    )
+                    for i in range(len(labels))
+                ]
 
     metas = []
     for i in range(size):
@@ -153,9 +171,13 @@ def make_dataset(
 
     def build(args):
         (i, label, overlap, scene), r = args
+        # quantize fresh renders through the same uint8 roundtrip the cache
+        # applies, so first-run and cached-rerun datasets are bit-identical
+        img = _render(label, r)
+        img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         return SyntheticSample(
             anno_id=i,
-            image=_render(label, r),
+            image=img.astype(np.float32) / 255.0,
             label=label,
             overlap=overlap,
             scene=scene,
@@ -213,17 +235,15 @@ def make_packed_dataset(
     from .pipeline import PackedSamples
 
     if cache_dir:
-        # probe the same cache key make_dataset uses
-        import hashlib
-
-        vocab_key = "open" if vocab_words is None else hashlib.sha1(
-            "\n".join(vocab_words).encode()).hexdigest()[:10]
-        chars_key = hashlib.sha1(chars.encode()).hexdigest()[:6]
-        cache_path = os.path.join(
-            cache_dir,
-            f"synth_{size}_{seed}_{max_len}_{chars_key}_{vocab_key}.npz",
-        )
-        if os.path.exists(cache_path):
+        # probe the same cache keys make_dataset uses
+        cache_path = None
+        for name in _cache_names(size, seed, max_len, chars, vocab_words,
+                                 num_obj_classes):
+            p = os.path.join(cache_dir, name)
+            if os.path.exists(p):
+                cache_path = p
+                break
+        if cache_path is not None:
             z = np.load(cache_path, allow_pickle=False)
             labels = [str(l) for l in z["labels"]]
             text, _ = codec.encode(labels)

@@ -26,19 +26,37 @@ from ..core.charset import AttnCodec
 class Recognizer:
     def __init__(self, model, variables, cfg,
                  batch_sizes: Sequence[int] = (1, 8, 64),
-                 int8_backbone: bool = False):
+                 int8_backbone: bool = False,
+                 int8_scales_path: Optional[str] = None):
         """``int8_backbone=True`` serves through the PTQ-quantized ResNet
-        (models/resnet_int8.py — calibrated lazily on the first batch of
-        each bucket; ~1.4x throughput at large batches, -0.05% accuracy on
-        the trained flagship)."""
+        (models/resnet_int8.py; ~1.4x throughput at large batches, -0.05%
+        accuracy on the trained flagship).
+
+        Activation scales resolve in priority order: (1)
+        ``int8_scales_path`` — a npz persisted next to the checkpoint
+        (models/resnet_int8.save_activation_scales); (2) an explicit
+        :meth:`calibrate_int8` call with representative crops; (3) lazy
+        fallback on the first recognize() call, using only that call's REAL
+        crops (pad rows excluded — a zero-padded bucket would push the
+        static scales far below real activation ranges and silently clip
+        later traffic)."""
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.int8_backbone = int8_backbone
+        self.int8_scales_path = int8_scales_path
         self._int8_step = None
         self._qsites = None
+        self._int8_absmax = None
+        if int8_scales_path is not None:
+            import os
+
+            if os.path.exists(int8_scales_path):
+                from ..models.resnet_int8 import load_activation_scales
+
+                self._int8_absmax = load_activation_scales(int8_scales_path)
 
         def greedy(variables, image, overlap, scene, ious):
             logits = model.apply(
@@ -61,13 +79,50 @@ class Recognizer:
     def from_bundle(cls, bundle, **kw) -> "Recognizer":
         return cls(bundle.model, bundle.variables, bundle.cfg, **kw)
 
+    def calibrate_int8(self, crops: Sequence[np.ndarray]) -> None:
+        """Calibrate the int8 backbone's activation scales on representative
+        crops and (if ``int8_scales_path`` is set) persist them.
+
+        If scales were already loaded/calibrated, the new observation is
+        checked for drift (>2x range growth at any conv site warns —
+        models/resnet_int8.check_scale_drift)."""
+        from ..models.resnet_int8 import (
+            calibrate_resnet,
+            check_scale_drift,
+            save_activation_scales,
+        )
+        from ..train.steps import prep_image
+
+        B = self._bucket(min(len(crops), self.batch_sizes[-1]))
+        batch = self._prepare(list(crops)[: self.batch_sizes[-1]], B,
+                              tile_real=True)
+        rectified = self.model.apply(
+            self.variables, prep_image(batch["image"]),
+            method=type(self.model).rectify,
+        )
+        observed = calibrate_resnet(
+            self.variables, rectified,
+            output_channels=self.cfg.model.hidden_dim,
+        )
+        if self._int8_absmax is not None:
+            check_scale_drift(self._int8_absmax, observed)
+        self._int8_absmax = observed
+        self._int8_step = None  # rebuild with the new scales
+        self._qsites = None
+        if self.int8_scales_path is not None:
+            save_activation_scales(self.int8_scales_path, observed)
+
     def _bucket(self, n: int) -> int:
         for b in self.batch_sizes:
             if n <= b:
                 return b
         return self.batch_sizes[-1]
 
-    def _prepare(self, crops: Sequence[np.ndarray], B: int):
+    def _prepare(self, crops: Sequence[np.ndarray], B: int,
+                 tile_real: bool = False):
+        """Pad/truncate ``crops`` to bucket size B.  ``tile_real`` fills the
+        pad rows by cycling the real crops instead of zeros (calibration
+        batches must not see pad statistics)."""
         m = self.cfg.model
         img = np.zeros((B, m.img_h, m.img_w, 1), np.float32)
         for i, c in enumerate(crops):
@@ -101,6 +156,9 @@ class Recognizer:
                         np.float32,
                     )[..., None]
             img[i] = c
+        if tile_real and len(crops) > 0:
+            for i in range(len(crops), B):
+                img[i] = img[i % len(crops)]
         return {
             "image": jnp.asarray(img),
             "overlap": jnp.zeros((B, m.max_overlap_objs), jnp.int32),
@@ -141,10 +199,15 @@ class Recognizer:
                 out_scores.extend(np.asarray(scores)[: len(chunk)].tolist())
             elif self.int8_backbone:
                 if self._int8_step is None:
+                    if self._int8_absmax is None:
+                        # lazy fallback: calibrate on this call's REAL crops
+                        # (tiled to fill the bucket — never on pad rows)
+                        self.calibrate_int8(chunk)
                     from ..models.resnet_int8 import make_int8_eval_step
 
                     self._int8_step, self._qsites = make_int8_eval_step(
-                        self.model, self.variables, batch
+                        self.model, self.variables,
+                        x_absmax=self._int8_absmax,
                     )
                 ids = self._int8_step(self.variables, self._qsites, batch)
                 out_scores.extend([0.0] * len(chunk))

@@ -232,9 +232,14 @@ class TransformerDecoder(nn.Module):
     early_stop: bool = False
     # run the whole greedy loop inside one Pallas kernel (weights + KV caches
     # resident in VMEM, zero per-step dispatch overhead — see
-    # ops/fused_decode.py).  Supported for configs without per-layer fusion
-    # sites or cls_decoder_init; falls back to the XLA scan otherwise.
+    # ops/fused_decode.py).  Covers every config except the three per-layer
+    # fusion sites (which fall back to the XLA scan); cls_decoder_init rides
+    # the kernel as the step-0 input row.
     fused: bool = False
+    # int8-quantize the fused kernel's projection matmuls (PTQ, in-graph —
+    # ops/fused_decode.quantize_fused_weights).  Ignored unless ``fused``
+    # is active for this config.
+    int8: bool = False
 
     def setup(self):
         E = self.d_model
@@ -471,12 +476,13 @@ class TransformerDecoder(nn.Module):
 
         fused_ok = self.fused and not (
             self.multihead_pre_target or self.multihead_pre_memory
-            or self.multihead_post_memory or self.cls_decoder_init
+            or self.multihead_post_memory
         )
         if fused_ok:
             from ..core.charset import EOS_ID
             from ..ops.fused_decode import (
                 fused_greedy_decode,
+                quantize_fused_weights,
                 stack_decoder_weights,
             )
 
@@ -490,9 +496,15 @@ class TransformerDecoder(nn.Module):
                 layer_ws, self.final_norm.weights(),
                 self.emb_to_classes.weights(), emb_table, pe[:T],
             )
+            fw = jax.tree.map(jax.lax.stop_gradient, fw)
+            scales = None
+            if self.int8:
+                # in-graph PTQ: a pure function of the params, so serving
+                # needs no separate quantized-weight cache (~0.2 ms of XLA
+                # elementwise work per call on the ~34 MB of projections)
+                fw, scales = quantize_fused_weights(fw)
             logits = fused_greedy_decode(
-                jax.tree.map(jax.lax.stop_gradient, fw),
-                jnp.stack(ck), jnp.stack(cv),
+                fw, jnp.stack(ck), jnp.stack(cv), scales, cls0,
                 num_heads=self.num_heads, steps=T,
                 dtype=jnp.dtype(self.dtype), go_id=GO_ID,
                 eos_id=EOS_ID if self.early_stop else None,
@@ -651,9 +663,26 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((B, K, T), jnp.int32),
             make_caches(),
         )
-        (tok, scores, finished, seqs, _), _ = jax.lax.scan(
-            body, init, jnp.arange(T, dtype=jnp.int32)
-        )
+        if self.early_stop:
+            # exit once every beam of every row has emitted [s]; frozen
+            # beams continue with a zero-cost [s], so scores/sequences are
+            # identical to the full scan (~3x fewer steps on trained models)
+            def wcond(carry):
+                t, tok, scores, finished, seqs, caches = carry
+                return (t < T) & ~jnp.all(finished)
+
+            def wbody(carry):
+                t, *rest = carry
+                new, _ = body(tuple(rest), t)
+                return (t + 1, *new)
+
+            _, tok, scores, finished, seqs, _ = jax.lax.while_loop(
+                wcond, wbody, (jnp.int32(0), *init)
+            )
+        else:
+            (tok, scores, finished, seqs, _), _ = jax.lax.scan(
+                body, init, jnp.arange(T, dtype=jnp.int32)
+            )
 
         if length_penalty > 0.0:
             # GNMT-style normalisation by effective length

@@ -19,7 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LSTM, MLP, MultiHeadAttention, PositionalEncoding, relevance_fusion
+from .layers import (
+    LSTM,
+    MLP,
+    Int8Dense,
+    MultiHeadAttention,
+    PositionalEncoding,
+    relevance_fusion,
+)
 
 
 class BiLSTMBlock(nn.Module):
@@ -54,26 +61,36 @@ class BiLSTMEncoder(nn.Module):
 
 class EncoderLayer(nn.Module):
     """Post-LN transformer encoder layer with the reference's norm-order
-    quirk preserved (reference: encoders.py:166-196)."""
+    quirk preserved (reference: encoders.py:166-196).
+
+    ``int8`` (inference-only) runs the attention projections and FF matmuls
+    through the PTQ int8 path (ops/int8.py) — same recipe as the int8
+    backbone and fused decode kernel."""
 
     d_model: int
     num_heads: int
     ff_dim: int
     dropout: float
     norm_style: str = "reference"  # reference | standard
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        attn = MultiHeadAttention(self.d_model, self.num_heads, name="self_attn")
+        use_int8 = self.int8 and deterministic
+        attn_mod = MultiHeadAttention(self.d_model, self.num_heads,
+                                      name="self_attn")
+        attn = lambda q, k, v: attn_mod(q, k, v, int8=use_int8)
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         drop = lambda h, name: nn.Dropout(self.dropout, deterministic=deterministic,
                                           name=name)(h)
 
+        DenseCls = Int8Dense if use_int8 else nn.Dense
+
         def ff(h):
-            h = nn.Dense(self.ff_dim, name="linear1")(h)
+            h = DenseCls(self.ff_dim, name="linear1")(h)
             h = drop(nn.relu(h), "drop_ff")
-            return nn.Dense(self.d_model, name="linear2")(h)
+            return DenseCls(self.d_model, name="linear2")(h)
 
         if self.norm_style == "reference":
             # reference encoders.py:189-195: attention reads the unnormed
@@ -103,6 +120,8 @@ class TransformerEncoder(nn.Module):
     max_len: int = 26
     norm_style: str = "reference"
     pre_encoder_mlp: bool = False
+    # PTQ int8 matmuls at inference (ops/int8.py); training stays float
+    int8: bool = False
 
     @nn.compact
     def __call__(self, col_feats, semantics=None, train: bool = False):
@@ -129,7 +148,7 @@ class TransformerEncoder(nn.Module):
                                name="pos")(x, deterministic=deterministic)
         for i in range(self.num_layers):
             x = EncoderLayer(self.d_model, self.num_heads, self.ff_dim,
-                             self.dropout, self.norm_style,
+                             self.dropout, self.norm_style, int8=self.int8,
                              name=f"layer{i}")(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
 

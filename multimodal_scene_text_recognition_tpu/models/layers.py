@@ -64,12 +64,30 @@ class MultiHeadAttention(nn.Module):
     def weights(self) -> MHAWeights:
         return MHAWeights(self.w_qkv, self.b_qkv, self.w_out, self.b_out)
 
-    def __call__(self, query, key, value, mask=None):
+    def __call__(self, query, key, value, mask=None, int8: bool = False):
         from ..ops.attention import multihead_attention
 
         return multihead_attention(
-            query, key, value, self.weights(), self.num_heads, mask
+            query, key, value, self.weights(), self.num_heads, mask,
+            int8=int8,
         )
+
+
+class Int8Dense(nn.Module):
+    """nn.Dense-compatible layer (same kernel/bias param layout) computing
+    through the PTQ int8 matmul (ops/int8.py) — an inference-only drop-in:
+    checkpoints trained with nn.Dense restore unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.int8 import int8_linear
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return int8_linear(x, kernel, bias).astype(x.dtype)
 
 
 class LSTM(nn.Module):

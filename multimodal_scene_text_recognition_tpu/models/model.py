@@ -66,6 +66,7 @@ class SceneTextModel(nn.Module):
                 max_len=cfg.num_cols,
                 norm_style=cfg.encoder_norm_style,
                 pre_encoder_mlp=cfg.pre_encoder_mlp,
+                int8=cfg.encoder_int8,
                 name="encoder",
             )
             enc_dim = cfg.hidden_dim
@@ -106,6 +107,7 @@ class SceneTextModel(nn.Module):
                 dtype=cfg.compute_dtype,
                 early_stop=cfg.decode_early_stop,
                 fused=cfg.decode_fused,
+                int8=cfg.decode_int8,
                 name="decoder",
             )
         elif cfg.decoder == "linear":
@@ -142,6 +144,12 @@ class SceneTextModel(nn.Module):
         """TPS rectification only (for pipelines that splice in a custom
         backbone, e.g. the int8 PTQ ResNet — models/resnet_int8.py)."""
         return self.transformation(image, train=False)
+
+    def features(self, rectified: jnp.ndarray) -> jnp.ndarray:
+        """Backbone only: rectified crops -> column features [B, W', H]
+        (profiling / custom-pipeline splice point)."""
+        feats = self.feature_extractor(rectified, False)
+        return to_column_sequence(feats).astype(jnp.float32)
 
     def decode_from_columns(
         self,

@@ -175,27 +175,96 @@ def _forward(
     return x
 
 
-def quantize_resnet(
+def calibrate_resnet(
     variables: Dict,
     calib_images: jnp.ndarray,
     output_channels: int = 512,
     layers: Sequence[int] = (1, 2, 5, 3),
     backbone_scope: str = "feature_extractor",
+) -> Dict[str, float]:
+    """Record per-conv-site activation abs-max over a calibration batch.
+
+    ``calib_images`` are backbone INPUTS — pass TPS-rectified crops (use
+    SceneTextModel.rectify).  Returns site-name -> abs-max (float).  The
+    scales are checkpoint-independent data: persist them next to the Orbax
+    checkpoint with :func:`save_activation_scales` so serving never depends
+    on whatever batch arrives first.
+    """
+    params = variables["params"][backbone_scope]
+    stats = variables["batch_stats"][backbone_scope]
+    folded = _conv_sites(params, stats)
+    record: Dict = {}
+    _forward(folded, jnp.asarray(calib_images, jnp.float32),
+             output_channels, layers, record=record)
+    return {name: float(np.asarray(v)) for name, v in record.items()}
+
+
+def save_activation_scales(path: str, scales: Dict[str, float]) -> None:
+    """Persist calibration abs-max values (a tiny npz next to the ckpt)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, names=np.asarray(sorted(scales)),
+             values=np.asarray([scales[k] for k in sorted(scales)],
+                               np.float32))
+
+
+def load_activation_scales(path: str) -> Dict[str, float]:
+    z = np.load(path, allow_pickle=False)
+    return {str(n): float(v) for n, v in zip(z["names"], z["values"])}
+
+
+def check_scale_drift(
+    saved: Dict[str, float], observed: Dict[str, float], threshold: float = 2.0
+):
+    """Warn when observed activation ranges drift past the calibrated ones.
+
+    A saved abs-max much smaller than what serving traffic produces means
+    int8 clipping (silent accuracy loss); much larger means wasted
+    resolution.  Returns the offending site names (and warns)."""
+    import warnings
+
+    bad = [
+        name
+        for name in saved
+        if name in observed
+        and max(observed[name], 1e-12) / max(saved[name], 1e-12) > threshold
+    ]
+    if bad:
+        warnings.warn(
+            f"int8 activation ranges drifted >{threshold}x past calibration "
+            f"at {len(bad)} conv sites (e.g. {bad[:3]}); recalibrate on "
+            "representative data (eval/serve.Recognizer.calibrate_int8)"
+        )
+    return bad
+
+
+def quantize_resnet(
+    variables: Dict,
+    calib_images: Optional[jnp.ndarray] = None,
+    output_channels: int = 512,
+    layers: Sequence[int] = (1, 2, 5, 3),
+    backbone_scope: str = "feature_extractor",
+    x_absmax: Optional[Dict[str, float]] = None,
 ) -> Dict[str, QConv]:
     """PTQ of the trained backbone.
 
-    variables: the model's {'params', 'batch_stats'} tree; calib_images:
-    [N, 32, 100, 1] float32 in [0, 1] ALREADY rectified? No — calibration
-    runs on backbone INPUTS, so pass the TPS-rectified crops (use
-    SceneTextModel.rectify).  Returns site-name -> QConv.
+    variables: the model's {'params', 'batch_stats'} tree.  Activation
+    scales come from ``x_absmax`` (a persisted :func:`calibrate_resnet`
+    result) or are calibrated on ``calib_images`` (TPS-rectified crops) —
+    exactly one must be given.  Returns site-name -> QConv.
     """
     params = variables["params"][backbone_scope]
     stats = variables["batch_stats"][backbone_scope]
     folded = _conv_sites(params, stats)
 
-    record: Dict = {}
-    _forward(folded, jnp.asarray(calib_images, jnp.float32),
-             output_channels, layers, record=record)
+    if x_absmax is None:
+        if calib_images is None:
+            raise ValueError("need calib_images or x_absmax")
+        record: Dict = {}
+        _forward(folded, jnp.asarray(calib_images, jnp.float32),
+                 output_channels, layers, record=record)
+        x_absmax = {name: float(np.asarray(v)) for name, v in record.items()}
 
     qsites = {}
     for name, (kf, bias) in folded.items():
@@ -203,7 +272,7 @@ def quantize_resnet(
         w_scale = np.maximum(absmax, 1e-12) / 127.0
         kq = np.clip(np.round(kf / w_scale[None, None, None, :]),
                      -127, 127).astype(np.int8)
-        x_scale = float(np.asarray(record[name])) / 127.0
+        x_scale = x_absmax[name] / 127.0
         qsites[name] = QConv(
             kernel_q=jnp.asarray(kq),
             w_scale=jnp.asarray(w_scale, jnp.float32),
@@ -223,25 +292,32 @@ def resnet31_int8_forward(
     return _forward(qsites, x, output_channels, layers, record=None)
 
 
-def make_int8_eval_step(model, variables, calib_batch):
+def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
     """Build a jitted greedy-decode step whose backbone runs int8.
 
-    Calibrates on ``calib_batch`` (a device batch dict with normalized or
-    uint8 images), then returns ``(eval_step, qsites)`` where
-    ``eval_step(variables, qsites, batch) -> predicted ids [B, T]``.
-    Splices: TPS (bf16) -> int8 ResNet -> columns -> encoder/decoder (the
-    model's own modules) — everything else identical to the float path.
+    Activation scales come from ``x_absmax`` (persisted calibration, see
+    :func:`calibrate_resnet`) or are calibrated on ``calib_batch`` (a device
+    batch dict with normalized or uint8 images).  Returns
+    ``(eval_step, qsites)`` where ``eval_step(variables, qsites, batch) ->
+    predicted ids [B, T]``.  Splices: TPS (bf16) -> int8 ResNet -> columns
+    -> encoder/decoder (the model's own modules) — everything else
+    identical to the float path.
     """
     from ..train.steps import prep_image
     from .model import to_column_sequence
 
     cfg = model.cfg
-    rectified = model.apply(
-        variables, prep_image(calib_batch["image"]),
-        method=type(model).rectify,
-    )
+    rectified = None
+    if x_absmax is None:
+        if calib_batch is None:
+            raise ValueError("need calib_batch or x_absmax")
+        rectified = model.apply(
+            variables, prep_image(calib_batch["image"]),
+            method=type(model).rectify,
+        )
     qsites = quantize_resnet(
         variables, rectified, output_channels=cfg.hidden_dim,
+        x_absmax=x_absmax,
     )
 
     def eval_step(variables, qsites, batch):

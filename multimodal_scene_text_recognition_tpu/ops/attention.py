@@ -41,10 +41,24 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def qkv_projections(
-    q_in: jnp.ndarray, kv_in: jnp.ndarray, w: MHAWeights
+    q_in: jnp.ndarray, kv_in: jnp.ndarray, w: MHAWeights,
+    int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Project query and key/value inputs with the packed weights."""
+    """Project query and key/value inputs with the packed weights.
+
+    ``int8`` routes the projections through the PTQ int8 matmul
+    (ops/int8.py — inference-only)."""
     E = q_in.shape[-1]
+    if int8:
+        from .int8 import int8_linear
+
+        dt = q_in.dtype
+        q = int8_linear(q_in, w.w_qkv[:, :E], w.b_qkv[:E]).astype(dt)
+        k = int8_linear(kv_in, w.w_qkv[:, E : 2 * E],
+                        w.b_qkv[E : 2 * E]).astype(dt)
+        v = int8_linear(kv_in, w.w_qkv[:, 2 * E :],
+                        w.b_qkv[2 * E :]).astype(dt)
+        return q, k, v
     q = q_in @ w.w_qkv[:, :E] + w.b_qkv[:E]
     k = kv_in @ w.w_qkv[:, E : 2 * E] + w.b_qkv[E : 2 * E]
     v = kv_in @ w.w_qkv[:, 2 * E :] + w.b_qkv[2 * E :]
@@ -87,14 +101,21 @@ def multihead_attention(
     w: MHAWeights,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """Full MHA matching torch `nn.MultiheadAttention` (batch-first I/O).
 
     ``key is value`` is assumed (true for every site in the reference).
+    ``int8`` runs the four projection matmuls through the PTQ int8 path
+    (attention core stays bf16/f32).
     """
     del value  # packed projection computes k and v from the same tensor
-    q, k, v = qkv_projections(query, key, w)
+    q, k, v = qkv_projections(query, key, w, int8=int8)
     out = attend(q, k, v, num_heads, mask)
+    if int8:
+        from .int8 import int8_linear
+
+        return int8_linear(out, w.w_out, w.b_out).astype(query.dtype)
     return out @ w.w_out + w.b_out
 
 

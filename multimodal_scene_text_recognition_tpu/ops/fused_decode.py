@@ -22,25 +22,32 @@ loop *inside* a single Pallas program:
         scores[b,t,h] = sum_d q[b,d] k[b,t,d] S[d,h]   ((q*K) @ S)
         ctx[b,d]      = sum_t probs[b,t,head(d)] v[b,t,d]   ((P @ S^T) * V)
 
-Numerics match the XLA scan path (`models/decoders.py` ``_make_stepper``):
+Numerics follow the XLA scan path (`models/decoders.py` ``_make_stepper``):
 matmuls in ``dtype`` with float32 accumulation, layernorm statistics and
-logits in float32.  Greedy argmax resolves ties to the first maximum, same
-as XLA/numpy argmax.
+logits in float32.  Exact caveat: ``attend_cached`` forms the elementwise
+q*K products in ``dtype`` before the head-selection matmul, while the scan
+path's fused dot keeps those products in f32 on the MXU — in float32 the
+two paths agree to ~1e-6 (parity-tested in interpret mode), in bf16 they
+differ like any two accumulation orders (occasional argmax flips on
+near-ties; the on-TPU mismatch counter in scripts/bench_fused_decode.py is
+the acceptance check).  Greedy argmax resolves ties to the first maximum,
+same as XLA/numpy argmax.
 
 Replaces the hot loop of the reference's eval decode
 (/root/reference/modules/decoders.py:226-263) — which re-runs all layers
 over the whole prefix each step — with an O(T) cached loop at kernel speed.
 
 The kernel covers the flagship decoder configuration (optionally with
-``pre_decoder_mlp`` / ``post_decoder_mlp``, which act outside the loop);
-per-layer fusion sites and ``cls_decoder_init`` fall back to the XLA scan.
+``pre_decoder_mlp`` / ``post_decoder_mlp``, which act outside the loop, and
+``cls_decoder_init``, whose semantic CLS vector enters as the step-0 input
+row); the three per-layer fusion sites fall back to the XLA scan.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Any, NamedTuple, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -138,6 +145,48 @@ def stack_decoder_weights(
     )
 
 
+class FusedDecodeScales(NamedTuple):
+    """Per-output-channel dequant scales for the int8-quantized projections
+    (kernel = kernel_q * scale; activations are quantized dynamically
+    per-row in-kernel)."""
+
+    s_qkv: Any   # [L, 1, 3E] f32
+    s_out: Any   # [L, 1, E]
+    s_cq: Any    # [L, 1, E]
+    s_co: Any    # [L, 1, E]
+    s_ff1: Any   # [L, 1, F]
+    s_ff2: Any   # [L, 1, E]
+
+
+def quantize_fused_weights(w: FusedDecodeWeights):
+    """Symmetric per-output-channel int8 quantization of the six large
+    projection tables (qkv / out / cross-q / cross-out / ff1 / ff2 — ~97%
+    of the kernel's matmul FLOPs).  Embedding, head, norms and biases stay
+    float.  Pure jnp: runs in-graph (so serving needs no separate weight
+    cache) or on host arrays.
+
+    Returns ``(w_q, scales)`` where ``w_q`` is ``w`` with those tables
+    replaced by int8 arrays.  The recipe matches models/resnet_int8.py:
+    weight scale = per-channel abs-max / 127, f32 accumulation.
+    """
+
+    def q(t):  # [L, D_in, D_out] -> int8 table + [L, 1, D_out] scale
+        absmax = jnp.max(jnp.abs(t), axis=1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        tq = jnp.clip(jnp.round(t / scale), -127, 127).astype(jnp.int8)
+        return tq, scale.astype(jnp.float32)
+
+    qkv_q, s_qkv = q(w.w_qkv)
+    out_q, s_out = q(w.w_out)
+    cq_q, s_cq = q(w.cw_q)
+    co_q, s_co = q(w.cw_o)
+    ff1_q, s_ff1 = q(w.ff1_w)
+    ff2_q, s_ff2 = q(w.ff2_w)
+    w_q = w._replace(w_qkv=qkv_q, w_out=out_q, cw_q=cq_q, cw_o=co_q,
+                     ff1_w=ff1_q, ff2_w=ff2_q)
+    return w_q, FusedDecodeScales(s_qkv, s_out, s_cq, s_co, s_ff1, s_ff2)
+
+
 def head_select_matrix(E: int, num_heads: int) -> np.ndarray:
     """0/1 head-selection matrix S [E, H]: S[d, h] = 1 iff feature d
     belongs to head h."""
@@ -161,10 +210,13 @@ def _decode_kernel(
     ff1_w, ff1_b, ff2_w, ff2_b,
     n1_s, n1_b, n2_s, n2_b, n3_s, n3_b, fn_s, fn_b,
     head_w, head_b, emb, pe,
+    s_qkv, s_out, s_cq, s_co, s_ff1, s_ff2,  # int8 dequant scales (dummies in float mode)
+    cls0,                 # [B, E] semantic CLS step-0 input (dummy unless use_cls)
     ck, cv, sel, sel_t,   # cross K/V [L,Tm,B,E], head-select S/[S^T]
     logits_ref,           # out: [T, B, C] float32
     kc, vc,               # scratch: [L, T, B, E] self-attn caches
     *, L: int, num_heads: int, go_id: int, eps: float, eos_id=None,
+    quantized: bool = False, use_cls: bool = False,
 ):
     # time is the LEADING axis of every cached tensor ([T, B, E] slices):
     # dynamic stores/loads at step t then index a non-tiled dimension —
@@ -183,6 +235,26 @@ def _decode_kernel(
 
     S = sel[...].astype(dt)            # [E, H] head-selection 0/1
     St = sel_t[...].astype(dt)         # [H, E]
+
+    def lin(x32, w_ref, s_ref, b_ref, l):
+        """x32 [B, D_in] float32 @ weights[l] + bias[l] -> [B, D_out] f32.
+
+        Float mode: cast to ``dt``, MXU matmul, f32 accumulation.  Int8
+        mode (``quantized``): dynamic per-row symmetric activation
+        quantization (scale = row abs-max / 127) + int8 x int8 -> int32 on
+        the MXU, dequantized by (row_scale * per-channel weight scale) —
+        same recipe as models/resnet_int8.py, no calibration needed.
+        """
+        if not quantized:
+            return _dot(x32.astype(dt), w_ref[l]) + b_ref[l]
+        ax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)       # [B, 1]
+        inv = 127.0 / jnp.maximum(ax, 1e-12)
+        xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[l], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * ((ax / 127.0) * s_ref[l]) + b_ref[l]
 
     def ln(x32, s_ref, b_ref, l=None):
         s = (s_ref[l] if l is not None else s_ref[...]).astype(jnp.float32)
@@ -220,11 +292,15 @@ def _decode_kernel(
 
     def step(t, onehot):
         # embed previous prediction + positional row (float32 carry)
-        x = _dot(onehot.astype(dt), emb[...]) + pe[pl.ds(t, 1), 0, :]
+        x = _dot(onehot.astype(dt), emb[...])
+        if use_cls:
+            # step 0 uses the semantic CLS embedding instead of embed([GO])
+            # (reference decoders.py:241-243 cls_decoder_init)
+            x = jnp.where(t == 0, cls0[...].astype(jnp.float32), x)
+        x = x + pe[pl.ds(t, 1), 0, :]
         for l in range(L):
-            xb = x.astype(dt)
             # -- self attention over the running KV cache --
-            qkv = _dot(xb, w_qkv[l]) + b_qkv[l]        # [B,3E] f32
+            qkv = lin(x, w_qkv, s_qkv, b_qkv, l)       # [B,3E] f32
             # NB: qkv[:, None, E:2E]-style indexing (None + slice) lowers to
             # lax.gather, which Mosaic rejects; lax.slice_in_dim stays slice
             q = jax.lax.slice_in_dim(qkv, 0, E, axis=1).astype(dt)
@@ -233,18 +309,16 @@ def _decode_kernel(
             kc[l, pl.ds(t, 1), :, :] = k_t[None]
             vc[l, pl.ds(t, 1), :, :] = v_t[None]
             ctx = attend_cached(q, kc[l], vc[l], t, masked=True)
-            a = _dot(ctx.astype(dt), w_out[l]) + b_out[l]
+            a = lin(ctx, w_out, s_out, b_out, l)
             x = ln(x + a, n1_s, n1_b, l)
             # -- cross attention over precomputed memory K/V --
-            xb = x.astype(dt)
-            q2 = (_dot(xb, cw_q[l]) + cb_q[l]).astype(dt)
+            q2 = lin(x, cw_q, s_cq, cb_q, l).astype(dt)
             ctx2 = attend_cached(q2, ck[l], cv[l], t, masked=False)
-            a2 = _dot(ctx2.astype(dt), cw_o[l]) + cb_o[l]
+            a2 = lin(ctx2, cw_o, s_co, cb_o, l)
             x = ln(x + a2, n2_s, n2_b, l)
             # -- feed-forward --
-            xb = x.astype(dt)
-            h = jnp.maximum(_dot(xb, ff1_w[l]) + ff1_b[l], 0.0)
-            f = _dot(h.astype(dt), ff2_w[l]) + ff2_b[l]
+            h = jnp.maximum(lin(x, ff1_w, s_ff1, ff1_b, l), 0.0)
+            f = lin(h, ff2_w, s_ff2, ff2_b, l)
             x = ln(x + f, n3_s, n3_b, l)
         x = ln(x, fn_s, fn_b)
         logits_t = _dot(x.astype(dt), head_w[...]) + head_b[...].astype(
@@ -296,6 +370,8 @@ def fused_greedy_decode(
     weights: FusedDecodeWeights,
     cross_k: jnp.ndarray,
     cross_v: jnp.ndarray,
+    scales: Optional[FusedDecodeScales] = None,
+    cls0: Optional[jnp.ndarray] = None,
     *,
     num_heads: int,
     steps: int,
@@ -311,11 +387,19 @@ def fused_greedy_decode(
     encoder output per layer, stacked).  With ``eos_id`` set the in-kernel
     loop exits once every row has emitted that token (early stop — ~3x
     fewer steps on trained models); [s]-pruned strings are unchanged.
+
+    With ``scales`` (from :func:`quantize_fused_weights`) the six large
+    projections must already be int8 tables; their matmuls then run
+    int8 x int8 -> int32 on the MXU (~2x bf16 throughput on v5e) with
+    dynamic per-row activation quantization — attention, norms, embedding
+    and the logit head stay in ``dtype``/f32.
     """
     dt = jnp.dtype(dtype)
     L, B, _, E = cross_k.shape
     C = weights.head_w.shape[1]
     T = steps
+    quantized = scales is not None
+    use_cls = cls0 is not None
 
     def cast(x):
         return x.astype(dt) if x.dtype in (jnp.float32, jnp.bfloat16) else x
@@ -324,15 +408,22 @@ def fused_greedy_decode(
     # positional rows stay float32 and are laid out [T, 1, E] so the per-step
     # row load indexes a leading (non-tiled) dim
     w = w._replace(pe=weights.pe.astype(jnp.float32)[:, None, :])
+    if not quantized:
+        # unused placeholder refs (never loaded by the float kernel)
+        dummy = jnp.zeros((1, 1, 128), jnp.float32)
+        scales = FusedDecodeScales(*([dummy] * 6))
+    if cls0 is None:
+        cls0 = jnp.zeros((1, 128), jnp.float32)
+
     sel = jnp.asarray(head_select_matrix(E, num_heads))
     sel_t = sel.T
 
     kernel = functools.partial(
         _decode_kernel, L=L, num_heads=num_heads, go_id=go_id, eps=eps,
-        eos_id=eos_id,
+        eos_id=eos_id, quantized=quantized, use_cls=use_cls,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_in = len(w) + 4
+    n_in = len(w) + len(scales) + 5
     logits = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, B, C), jnp.float32),
@@ -348,6 +439,8 @@ def fused_greedy_decode(
         interpret=interpret,
     )(
         *w,
+        *scales,
+        cls0.astype(jnp.float32),
         # time-major cross K/V to match the cache layout
         jnp.swapaxes(cross_k, 1, 2).astype(dt),
         jnp.swapaxes(cross_v, 1, 2).astype(dt),

@@ -26,6 +26,61 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host initialization (SURVEY.md §5.8): join this process to a
+    multi-host run over DCN via ``jax.distributed.initialize`` so that
+    ``jax.devices()`` spans every host's chips and the same
+    :func:`make_mesh` + ``jit`` programs scale data-parallel across hosts.
+
+    Single-process is the default and requires no call; with
+    ``num_processes`` absent/1 (and no cluster env to auto-detect) this is
+    a no-op so CLI entry points can call it unconditionally.  On TPU pods
+    all three arguments are auto-detected from the environment — call with
+    no arguments.  Returns the process count.
+
+    Launch recipe (one command per host, standard JAX multi-host;
+    multi-host is strictly opt-in so single-chip/tunneled environments
+    never trip auto-detection):
+
+        # TPU pod slice — jax auto-detects peers; opt in per host with:
+        MSTR_MULTIHOST=1 python -m multimodal_scene_text_recognition_tpu.cli train ...
+        # generic cluster — explicit coordinator:
+        JAX_COORDINATOR=host0:1234 NPROC=2 PROC_ID=<0|1> python -m ... train
+
+    Replaces the reference's single-process DataParallel boundary
+    (reference: model.py:115) at the multi-host scale the reference never
+    reaches.  Per-host input sharding: each process feeds its local shard
+    of the global batch (jax.make_array_from_process_local_data); the
+    train loop's device-resident data path already gathers by index, so
+    each host holds only its slice of the corpus.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR")
+    if num_processes is None and os.environ.get("NPROC"):
+        num_processes = int(os.environ["NPROC"])
+    if process_id is None and os.environ.get("PROC_ID"):
+        process_id = int(os.environ["PROC_ID"])
+
+    pod_opt_in = os.environ.get("MSTR_MULTIHOST") == "1"
+    if not coordinator_address and not pod_opt_in and (
+        num_processes is None or num_processes <= 1
+    ):
+        return 1  # single-process: nothing to initialize
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_axis: int = 1,

@@ -26,10 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.charset import AttnCodec
+from ..core.charset import AttnCodec, CTCCodec
 from ..core.config import Config
 from ..core.metrics import Averager
 from ..data.pipeline import (
+    Batcher,
     PackedSamples,
     Prefetcher,
     device_batch,
@@ -71,6 +72,26 @@ class CSVLog:
             w.writerow(r)
 
 
+def build_codec(cfg: Config):
+    """Label codec for the configured recipe; validates the CTC combination
+    (reference utils.py:5-99 ships the CTC converter unwired — here the
+    recipe is a first-class, checked configuration)."""
+    if cfg.train.loss == "ctc" or cfg.model.label_codec == "ctc":
+        if cfg.train.loss != "ctc" or cfg.model.label_codec != "ctc":
+            raise ValueError(
+                "CTC training needs BOTH train.loss=ctc and "
+                "model.label_codec=ctc (got "
+                f"loss={cfg.train.loss!r}, codec={cfg.model.label_codec!r})"
+            )
+        if cfg.model.decoder != "linear":
+            raise ValueError(
+                "train.loss=ctc requires model.decoder=linear (per-column "
+                f"logits); got {cfg.model.decoder!r}"
+            )
+        return CTCCodec(cfg.model.chars, cfg.model.max_text_length)
+    return AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+
+
 def train(
     cfg: Config,
     model,
@@ -82,32 +103,46 @@ def train(
     verbose: bool = True,
 ) -> TrainState:
     """Train ``model`` (reference train(), training_functions.py:30-148)."""
-    codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
-    steps_per_epoch = max(len(train_samples) // cfg.train.batch_size, 1)
+    from ..data.lmdb_data import BalancedMixture
+
+    codec = build_codec(cfg)
+    # ratio-mixed multi-source corpora are a batch STREAM (quota draws per
+    # batch, independent rewinds — reference dataset.py:17-100), not a
+    # packable Sequence; they train through the host collate + prefetch path
+    mixture = isinstance(train_samples, BalancedMixture)
+    n_train = (sum(len(s) for s in train_samples.sources) if mixture
+               else len(train_samples))
+    steps_per_epoch = max(n_train // cfg.train.batch_size, 1)
 
     # one upfront pack: per-batch host work drops to fancy-index gathers and
     # the wire format is uint8 (see data.pipeline.PackedSamples)
-    packed_train = PackedSamples.from_samples(train_samples, codec)
+    packed_train = (None if mixture
+                    else PackedSamples.from_samples(train_samples, codec))
     packed_val = PackedSamples.from_samples(val_samples, codec)
+    batcher = Batcher(codec, cfg.train.batch_size) if mixture else None
 
     tx = make_optimizer(cfg.train, steps_per_epoch)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     if state is None:
-        sample_batch = next(iter(packed_batches(
-            packed_train, min(len(packed_train), cfg.train.batch_size),
-            shuffle=False, drop_last=False)))
+        if mixture:
+            sample_batch = batcher.collate(train_samples.next_batch())
+        else:
+            sample_batch = next(iter(packed_batches(
+                packed_train, min(len(packed_train), cfg.train.batch_size),
+                shuffle=False, drop_last=False)))
         dev = device_batch(sample_batch, device_put)
         state = create_train_state(model, tx, dev, rng)
 
     # device-resident dataset: gather batches by index inside the jitted
     # step (the index vector is the only per-step host->device transfer)
-    packed_bytes = sum(
+    packed_bytes = 0 if mixture else sum(
         getattr(packed_train, k).nbytes
         for k in ("image", "text", "overlap", "scene", "ious")
     )
     use_device_data = (
-        cfg.train.device_data
+        not mixture
+        and cfg.train.device_data
         and packed_bytes <= cfg.train.device_data_max_mb * 2**20
     )
     if use_device_data:
@@ -117,12 +152,12 @@ def train(
         })
         dd_step = make_device_data_train_step(
             model, tx, counts_pad=cfg.train.loss_counts_pad,
-            label_smoothing=cfg.train.label_smoothing,
+            label_smoothing=cfg.train.label_smoothing, loss=cfg.train.loss,
         )
     else:
         train_step = make_train_step(
             model, tx, counts_pad=cfg.train.loss_counts_pad,
-            label_smoothing=cfg.train.label_smoothing,
+            label_smoothing=cfg.train.label_smoothing, loss=cfg.train.loss,
         )
     eval_step = make_eval_step(model)
 
@@ -163,23 +198,39 @@ def train(
             B = cfg.train.batch_size
             n_steps = len(packed_train) // B
             K = max(1, min(cfg.train.steps_per_call, n_steps))
+            # truncate to the iteration limit so K-step blocks never
+            # overshoot it (the final block may be shorter: at most one
+            # extra compile per run at the remainder shape)
+            n_avail = n_steps
+            if cfg.train.iteration_limit:
+                n_avail = min(
+                    n_steps, max(cfg.train.iteration_limit - iteration, 0))
             order = np.random.default_rng(
                 cfg.train.seed + epoch).permutation(len(packed_train))
-            order = order[: (n_steps // K) * K * B].reshape(-1, K, B)
-            epoch_iter = (jnp.asarray(blk, jnp.int32) for blk in order)
+            flat = order[: n_avail * B].reshape(-1, B)
+            epoch_iter = (
+                jnp.asarray(flat[i : i + K], jnp.int32)
+                for i in range(0, len(flat), K)
+            )
         else:
             # collate AND device_put happen in the prefetch thread so the
             # host->device copy overlaps the previous step's compute
-            epoch_iter = Prefetcher(
-                (
+            if mixture:
+                gen = (
+                    device_batch(
+                        batcher.collate(train_samples.next_batch()),
+                        device_put)
+                    for _ in range(steps_per_epoch)
+                )
+            else:
+                gen = (
                     device_batch(b, device_put)
                     for b in packed_batches(packed_train,
                                             cfg.train.batch_size,
                                             shuffle=True,
                                             seed=cfg.train.seed + epoch)
-                ),
-                depth=4,
-            )
+                )
+            epoch_iter = Prefetcher(gen, depth=4)
         t_last = time.perf_counter()
         iter_last = iteration
         pending = []  # device-side metrics; fetched only at logging points
@@ -216,13 +267,17 @@ def train(
                     loss_avg.add(float(l))
                     acc_avg.add(float(a))
                 pending = []
+            if hit_log:
+                # advanced here (not in the verbose print below) so that
+                # with verbose=False the blocking device_get above still
+                # happens only once per log window, not every step
+                next_log = (iteration // log_every + 1) * log_every
 
             if verbose and hit_log:
                 n_done = iteration - iter_last
                 dt = (time.perf_counter() - t_last) / max(n_done, 1)
                 t_last = time.perf_counter()
                 iter_last = iteration
-                next_log = (iteration // log_every + 1) * log_every
                 print(
                     f"    iter {iteration}: loss {loss_avg.val():.4f} "
                     f"token_acc {acc_avg.val():.3f} "

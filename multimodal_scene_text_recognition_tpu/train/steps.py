@@ -64,8 +64,10 @@ def ctc_loss(
     layout of core.charset.CTCCodec / reference utils.py:5-52).
 
     The reference ships CTC converters but never wires a CTC criterion;
-    here the path is complete: pair a 'linear' decoder (per-column logits)
-    with this loss and the CTCCodec.
+    here the recipe is end-to-end: ``train.loss=ctc`` +
+    ``model.decoder=linear`` + ``model.label_codec=ctc`` routes
+    make_train_step / train.loop / cli through this loss, and validation
+    decodes with the CTCCodec's greedy best-path collapse.
 
     logits: [B, T, C]; labels: [B, L] (0-padded); label_lengths: [B].
     """
@@ -79,6 +81,18 @@ def ctc_loss(
     ).mean()
 
 
+def ctc_collapse(ids: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Greedy best-path collapse on device: remove repeats, then blanks.
+
+    ``ids`` [B, T] per-column argmax -> [B, out_len] 0-padded collapsed
+    rows (the device-side twin of core.charset.CTCCodec.decode)."""
+    prev = jnp.pad(ids[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    keep = (ids != 0) & (ids != prev)
+    pos = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, out_len)
+    out = jnp.zeros((ids.shape[0], out_len), ids.dtype)
+    return jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out, pos, ids)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -86,11 +100,17 @@ def make_train_step(
     label_smoothing: float = 0.0,
     donate: bool = True,
     jit_compile: bool = True,
+    loss: str = "ce",
 ) -> Callable:
     """Build the train step: (state, batch, rng) -> (state, metrics).
 
-    ``jit_compile=False`` returns the raw python function (for re-jitting
-    with explicit shardings in :func:`shard_train_step`)."""
+    ``loss="ctc"`` trains per-column logits (linear decoder + CTCCodec
+    labels) with :func:`ctc_loss`; the reported ``token_acc`` is then the
+    collapsed-sequence exact-match rate.  ``jit_compile=False`` returns the
+    raw python function (for re-jitting with explicit shardings in
+    :func:`shard_train_step`)."""
+    if loss not in ("ce", "ctc"):
+        raise ValueError(f"unknown train loss {loss!r}")
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -110,10 +130,16 @@ def make_train_step(
                 rngs={"dropout": rng, "semantics": rng},
                 mutable=["batch_stats"],
             )
-            loss = cross_entropy(logits, targets, counts_pad, label_smoothing)
-            return loss, (logits, updates.get("batch_stats", state.batch_stats))
+            if loss == "ctc":
+                labels = batch["text"]  # [B, L], 0-padded CTCCodec rows
+                lengths = jnp.sum(labels != 0, axis=1)
+                l = ctc_loss(logits, labels, lengths)
+            else:
+                l = cross_entropy(logits, targets, counts_pad,
+                                  label_smoothing)
+            return l, (logits, updates.get("batch_stats", state.batch_stats))
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -123,13 +149,19 @@ def make_train_step(
         # (training_functions.py:100-114 does this with a host loop; here it
         # stays on device)
         pred_ids = jnp.argmax(logits, axis=-1)
-        valid = targets != GO_ID
-        token_acc = jnp.sum((pred_ids == targets) & valid) / jnp.maximum(
-            jnp.sum(valid), 1
-        )
+        if loss == "ctc":
+            collapsed = ctc_collapse(pred_ids, batch["text"].shape[1])
+            token_acc = jnp.mean(
+                jnp.all(collapsed == batch["text"], axis=1).astype(jnp.float32)
+            )
+        else:
+            valid = targets != GO_ID
+            token_acc = jnp.sum((pred_ids == targets) & valid) / jnp.maximum(
+                jnp.sum(valid), 1
+            )
 
         metrics = {
-            "loss": loss,
+            "loss": loss_val,
             "token_acc": token_acc,
             "grad_norm": optax.global_norm(grads),
         }
@@ -153,6 +185,7 @@ def make_device_data_train_step(
     tx: optax.GradientTransformation,
     counts_pad: bool = True,
     label_smoothing: float = 0.0,
+    loss: str = "ce",
 ) -> Callable:
     """Train step(s) over a device-resident dataset:
     (state, data, idx [K, B] i32, rng) -> (state, metrics stacked [K]).
@@ -166,7 +199,7 @@ def make_device_data_train_step(
     in HBM (a 500k-crop packed synthetic set is ~1.6 GB of a v5e's 16 GB).
     """
     inner = make_train_step(
-        model, tx, counts_pad, label_smoothing, jit_compile=False
+        model, tx, counts_pad, label_smoothing, jit_compile=False, loss=loss
     )
 
     def multi_step(state: TrainState, data: Dict[str, jnp.ndarray], idx, rng):

@@ -44,6 +44,40 @@ def test_beam1_equals_greedy():
     assert scores.shape == (3,)
 
 
+def test_beam_early_stop_matches_full_scan():
+    """Beam with early_stop=True (while_loop exit once all beams emit [s])
+    returns identical tokens/scores to the fixed-length scan; biasing the
+    head towards [s] makes beams actually finish early."""
+    B, H, E, T = 3, 64, 32, 8
+    common = dict(num_classes=13, d_model=E, memory_dim=H, num_heads=4,
+                  ff_dim=64, num_layers=2, dropout=0.0, max_text_length=T)
+    dec = TransformerDecoder(**common)
+    dec_es = TransformerDecoder(**common, early_stop=True)
+    enc_out = jnp.asarray(RNG.standard_normal((B, 10, H)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, T + 1), jnp.int32), None, train=True,
+    )
+    # bias towards emitting [s] so the early exit actually triggers
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 2.0 * jax.nn.one_hot(EOS_ID, 13)
+        if any(getattr(p, "key", None) == "emb_to_classes" for p in path)
+        and v.ndim == 1 else v,
+        variables,
+    )
+    tok_a, sc_a = dec.apply(variables, enc_out, None, beam_size=4,
+                            method=TransformerDecoder.beam_decode)
+    tok_b, sc_b = dec_es.apply(variables, enc_out, None, beam_size=4,
+                               method=TransformerDecoder.beam_decode)
+    # prune at first [s]: positions after it are never read
+    a, b = np.asarray(tok_a), np.asarray(tok_b)
+    for ra, rb in zip(a, b):
+        ea = np.argmax(ra == EOS_ID) if (ra == EOS_ID).any() else len(ra)
+        np.testing.assert_array_equal(ra[: ea + 1], rb[: ea + 1])
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-5)
+
+
 def test_beam5_no_worse_than_greedy():
     """The best beam's sequence log-prob must be >= the greedy sequence's."""
     dec, variables, enc_out, sem = make_decoder()

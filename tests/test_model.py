@@ -242,7 +242,8 @@ def test_fused_decode_matches_scan():
     )
 
     B, H, E, T = 3, 64, 32, 25
-    for hooks in (dict(), dict(pre_decoder_mlp=True, post_decoder_mlp=True)):
+    for hooks in (dict(), dict(pre_decoder_mlp=True, post_decoder_mlp=True),
+                  dict(cls_decoder_init=True)):
         common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
                       ff_dim=64, num_layers=2, dropout=0.0,
                       max_text_length=T, **hooks)
@@ -262,6 +263,37 @@ def test_fused_decode_matches_scan():
             dec_fused.apply(variables, enc_out, None, sem, train=False))
         np.testing.assert_allclose(ref, fus, atol=1e-4)
         assert (ref.argmax(-1) == fus.argmax(-1)).all()
+
+
+def test_fused_decode_int8_close_to_float():
+    """The int8-quantized fused kernel (decode_int8: per-channel int8
+    projection weights + dynamic per-row activation quant) stays close to
+    the float fused path — PTQ error small relative to logit scale, high
+    argmax agreement."""
+    from multimodal_scene_text_recognition_tpu.models.decoders import (
+        TransformerDecoder,
+    )
+
+    B, H, E, T = 3, 64, 32, 25
+    common = dict(num_classes=97, d_model=E, memory_dim=H, num_heads=4,
+                  ff_dim=64, num_layers=2, dropout=0.0, max_text_length=T)
+    dec_float = TransformerDecoder(**common, fused=True)
+    dec_int8 = TransformerDecoder(**common, fused=True, int8=True)
+    enc_out = jnp.asarray(RNG.standard_normal((B, 26, H)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+    variables = dec_float.init(
+        {"params": rng, "dropout": rng},
+        enc_out, jnp.zeros((B, 26), jnp.int32), None, train=True,
+    )
+    f = np.asarray(
+        dec_float.apply(variables, enc_out, None, None, train=False))
+    q = np.asarray(
+        dec_int8.apply(variables, enc_out, None, None, train=False))
+    assert q.shape == f.shape
+    rel = np.abs(f - q).mean() / (np.abs(f).mean() + 1e-9)
+    assert rel < 0.08, rel
+    agree = (f.argmax(-1) == q.argmax(-1)).mean()
+    assert agree > 0.8, agree
 
 
 def test_fused_decode_falls_back_for_unsupported_configs():

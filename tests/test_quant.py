@@ -52,6 +52,29 @@ def test_int8_backbone_close_to_float():
     assert corr > 0.99, corr
 
 
+def test_int8_encoder_close_to_float():
+    """encoder_int8 (PTQ int8 attention projections + FF matmuls,
+    ops/int8.py) stays close to the float encoder on the same params."""
+    from multimodal_scene_text_recognition_tpu.models.encoders import (
+        TransformerEncoder,
+    )
+
+    kw = dict(d_model=64, embed_dim=32, num_heads=4, ff_dim=128,
+              num_layers=2, dropout=0.0, max_len=26)
+    enc_f = TransformerEncoder(**kw)
+    enc_q = TransformerEncoder(**kw, int8=True)
+    x = jnp.asarray(RNG.standard_normal((2, 26, 64)).astype(np.float32))
+    variables = enc_f.init(
+        {"params": jax.random.PRNGKey(0)}, x, None, train=False)
+    f = np.asarray(enc_f.apply(variables, x, None, train=False))
+    q = np.asarray(enc_q.apply(variables, x, None, train=False))
+    assert q.shape == f.shape
+    rel = np.abs(f - q).mean() / (np.abs(f).mean() + 1e-9)
+    assert rel < 0.08, rel
+    corr = np.corrcoef(f.ravel(), q.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 def test_int8_eval_step_end_to_end():
     """The spliced int8 eval step runs the full recognizer and returns ids
     that mostly agree with the float path on the same (random) weights."""
