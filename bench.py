@@ -180,8 +180,8 @@ def bench_trained(cfg: ModelConfig, iters=20):
     """Trained-model serving numbers, driver-captured (VERDICT r2 #2).
 
     Restores the shipped Orbax checkpoint and measures the production
-    serving path — fused Pallas decode kernel with in-kernel early stop,
-    int8 PTQ backbone AND int8 decode-kernel projections, activation scales
+    serving path — fused bf16 Pallas decode kernel with in-kernel early
+    stop, int8 PTQ backbone + int8 encoder matmuls, activation scales
     calibrated on real held-out crops — plus word accuracy over the full
     2048-crop val set for both the float and int8 pipelines.
     """
@@ -205,8 +205,13 @@ def bench_trained(cfg: ModelConfig, iters=20):
     if val is None:
         return None
 
+    # decode_int8 is deliberately OFF: the fused decode kernel is VMEM/
+    # latency-bound (16% MFU), so int8's quantize/dequantize overhead makes
+    # it *slower* than bf16 at device level (3.21 vs 2.94 ms per 25 steps —
+    # scripts/mfu_table.py; the earlier "1.41x" claim was per-call dispatch
+    # overhead, not device time).
     mcfg = dataclasses.replace(cfg, decode_fused=True,
-                               decode_early_stop=True, decode_int8=True,
+                               decode_early_stop=True,
                                encoder_int8=True)
     model = build_model(mcfg)
     batch0 = device_batch(next(iter(packed_batches(val, B, shuffle=False))))
@@ -229,6 +234,39 @@ def bench_trained(cfg: ModelConfig, iters=20):
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     crops_per_sec = B / dt
+
+    # Pipelined offline-serving throughput: stack the val set [K, B, ...]
+    # and decode ALL of it in ONE jitted scan.  The per-dispatch host cost
+    # (pytree flatten + tunnel round trip, ~10 ms — comparable to the device
+    # time of a whole batch) amortizes over the corpus, which is exactly
+    # what a production serving loop with a device-resident queue achieves.
+    # MFU accounting (scripts/mfu_table.py) showed the per-call numbers
+    # above are dispatch-bound, not device-bound.
+    full = [b for b in packed_batches(val, B, shuffle=False) if
+            b["image"].shape[0] == B]
+    stacked = device_batch({
+        k: np.stack([b[k] for b in full])
+        for k in ("image", "overlap", "scene", "ious")})
+    nK = len(full)
+
+    @jax.jit
+    def decode_all(variables, qsites, stacked):
+        def body(carry, b):
+            # nested jit inlines into the scan body
+            return carry, step(variables, qsites, b)
+
+        _, ids = jax.lax.scan(body, None, stacked)
+        return ids
+
+    np.asarray(decode_all(variables, qsites, stacked))
+    tbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(decode_all(variables, qsites, stacked))
+        tbest = min(tbest, time.perf_counter() - t0)
+    pipelined = nK * B / tbest
+    log(f"pipelined serving: {pipelined:.1f} crops/s "
+        f"({nK}x{B} crops in {tbest * 1e3:.1f} ms, one dispatch)")
 
     # word accuracy over the full val set: int8 pipeline vs float pipeline
     def accuracy(decode_fn):
@@ -267,6 +305,7 @@ def bench_trained(cfg: ModelConfig, iters=20):
     return {
         "trained_decode_crops_per_sec": round(crops_per_sec, 1),
         "trained_batch_ms": round(dt * 1e3, 2),
+        "trained_pipelined_crops_per_sec": round(pipelined, 1),
         "trained_val_accuracy_int8": round(acc_int8, 2),
         "trained_val_accuracy_float": round(acc_float, 2),
     }

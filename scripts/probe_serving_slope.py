@@ -1,0 +1,113 @@
+"""Slope-time the trained serving step over real varied batches.
+
+Question (round 3): the pipelined whole-corpus scan measures 13.7 ms/batch
+while the per-phase MFU table sums to ~11.4 ms fixed-length (and early stop
+should cut the decode further on real ~6-char words).  Where do the extra
+milliseconds go — and does the per-call 11.88 ms number survive varied
+data (identical re-enqueues can be deduped by the runtime)?
+
+Method: one jit program scans the serving step over K batches drawn
+round-robin from the 10 real val batches; per-batch ms = slope between two
+trip counts (dispatch cost cancels).  Run for early_stop on/off and for
+the int8 vs bf16 encoder.
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec
+from multimodal_scene_text_recognition_tpu.core.config import Config
+from multimodal_scene_text_recognition_tpu.data.pipeline import (
+    device_batch,
+    packed_batches,
+)
+from multimodal_scene_text_recognition_tpu.data.synthetic import (
+    make_packed_dataset,
+)
+from multimodal_scene_text_recognition_tpu.models.model import build_model
+from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
+    make_int8_eval_step,
+)
+from multimodal_scene_text_recognition_tpu.train.checkpoint import (
+    restore_checkpoint,
+)
+from multimodal_scene_text_recognition_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+)
+
+B = 192
+K1, K2 = int(os.environ.get("K1", "6")), int(os.environ.get("K2", "16"))
+CKPT = os.path.abspath("results/models/synth_openvocab_xxl")
+
+cfg = Config()
+codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
+val = make_packed_dataset(codec, 2048, seed=cfg.train.seed + 1,
+                          cache_dir="results/synth_cache")
+full = [b for b in packed_batches(val, B, shuffle=False)
+        if b["image"].shape[0] == B]
+stacked = device_batch({k: np.stack([b[k] for b in full])
+                        for k in ("image", "overlap", "scene", "ious")})
+nB = len(full)
+batch0 = device_batch(full[0])
+
+model0 = build_model(cfg.model)
+state = create_train_state(model0, make_optimizer(cfg.train), batch0,
+                           jax.random.PRNGKey(0))
+state = restore_checkpoint(CKPT, state)
+variables = state.variables()
+print(f"restored step={int(state.step)}", flush=True)
+
+
+def slope_ms(make_fn, reps=3):
+    def run(k):
+        f = make_fn(k)
+        np.asarray(f())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(K1), run(K2)
+    return (t2 - t1) / (K2 - K1) * 1e3
+
+
+def probe(name, mcfg):
+    model = build_model(mcfg)
+    step, qsites = make_int8_eval_step(model, variables, calib_batch=batch0)
+
+    def make_fn(k):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                b = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, i % nB, keepdims=False), stacked)
+                ids = step(variables, qsites, b)
+                return acc + jnp.sum(ids)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return loop
+
+    ms = slope_ms(make_fn)
+    print(f"{name}: {ms:.2f} ms/batch = {B / ms * 1e3:.0f} crops/s",
+          flush=True)
+
+
+base = dataclasses.replace(cfg.model, decode_fused=True, encoder_int8=True)
+probe("early_stop=True  enc=int8", dataclasses.replace(
+    base, decode_early_stop=True))
+probe("early_stop=False enc=int8", dataclasses.replace(
+    base, decode_early_stop=False))
+probe("early_stop=True  enc=bf16", dataclasses.replace(
+    base, decode_early_stop=True, encoder_int8=False))
