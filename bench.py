@@ -235,13 +235,14 @@ def bench_trained(cfg: ModelConfig, iters=20):
     dt = (time.perf_counter() - t0) / iters
     crops_per_sec = B / dt
 
-    # Pipelined offline-serving throughput: stack the val set [K, B, ...]
-    # and decode ALL of it in ONE jitted scan.  The per-dispatch host cost
-    # (pytree flatten + tunnel round trip, ~10 ms — comparable to the device
-    # time of a whole batch) amortizes over the corpus, which is exactly
-    # what a production serving loop with a device-resident queue achieves.
-    # MFU accounting (scripts/mfu_table.py) showed the per-call numbers
-    # above are dispatch-bound, not device-bound.
+    # Pipelined offline-serving throughput over varied REAL batches: one
+    # jit program decodes K batches round-robin from the device-resident
+    # val corpus; per-batch ms is the slope between two trip counts, so the
+    # per-dispatch host cost (pytree flatten + tunnel round trip, ~10 ms —
+    # comparable to the device time of a whole batch) cancels exactly.
+    # This is the steady-state rate of a production serving loop with a
+    # device-resident queue; per-call loops re-enqueueing one identical
+    # batch are vulnerable to runtime dedup and kept only for latency.
     full = [b for b in packed_batches(val, B, shuffle=False) if
             b["image"].shape[0] == B]
     stacked = device_batch({
@@ -249,24 +250,33 @@ def bench_trained(cfg: ModelConfig, iters=20):
         for k in ("image", "overlap", "scene", "ious")})
     nK = len(full)
 
-    @jax.jit
-    def decode_all(variables, qsites, stacked):
-        def body(carry, b):
-            # nested jit inlines into the scan body
-            return carry, step(variables, qsites, b)
+    def make_loop(k):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                b = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, i % nK, keepdims=False), stacked)
+                return acc + jnp.sum(step(variables, qsites, b))
 
-        _, ids = jax.lax.scan(body, None, stacked)
-        return ids
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    np.asarray(decode_all(variables, qsites, stacked))
-    tbest = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(decode_all(variables, qsites, stacked))
-        tbest = min(tbest, time.perf_counter() - t0)
-    pipelined = nK * B / tbest
+        return loop
+
+    def best_time(f, reps=3):
+        np.asarray(f())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 6, 16
+    slope = (best_time(make_loop(k2)) - best_time(make_loop(k1))) / (k2 - k1)
+    pipelined = B / slope
     log(f"pipelined serving: {pipelined:.1f} crops/s "
-        f"({nK}x{B} crops in {tbest * 1e3:.1f} ms, one dispatch)")
+        f"({slope * 1e3:.2f} ms/batch marginal, varied real batches)")
 
     # word accuracy over the full val set: int8 pipeline vs float pipeline
     def accuracy(decode_fn):

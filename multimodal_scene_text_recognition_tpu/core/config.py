@@ -94,6 +94,13 @@ class ModelConfig:
     # inference (ops/int8.py, same PTQ recipe); training stays float.
     encoder_int8: bool = False
 
+    # int8-quantize the TPS localization-network convs at inference
+    # (models/resnet_int8.quantize_tps — BN-folded, per-channel weights,
+    # static per-tensor activation scales); the fiducial FC head and the
+    # grid solve/warp stay float.  Used by the int8 serving path
+    # (models/resnet_int8.make_int8_eval_step).
+    tps_int8: bool = False
+
     # --- text geometry (reference: config.py:19-20) ---
     max_text_length: int = 25
     chars: str = DEFAULT_CHARS

@@ -104,6 +104,14 @@ class Recognizer:
             self.variables, rectified,
             output_channels=self.cfg.model.hidden_dim,
         )
+        if getattr(self.cfg.model, "tps_int8", False):
+            from ..models.resnet_int8 import calibrate_tps
+
+            observed.update({
+                f"tps/{k}": v
+                for k, v in calibrate_tps(
+                    self.variables, prep_image(batch["image"])).items()
+            })
         if self._int8_absmax is not None:
             check_scale_drift(self._int8_absmax, observed)
         self._int8_absmax = observed

@@ -11,8 +11,9 @@ pure-function int8 forward for serving:
   * activations: symmetric per-tensor int8 with STATIC scales taken from a
     calibration batch (abs-max of each conv input);
   * convs run int8 x int8 -> int32 on the MXU; dequant + bias + residual +
-    ReLU happen in float32 on the VPU; max-pools run on the int8 tensor
-    (max commutes with the monotonic quantization).
+    ReLU happen in float32 on the VPU; inter-site activations are stored
+    bf16 (halves the glue's HBM traffic; they are re-quantized to int8 at
+    the next site, so bf16's mantissa is far below the int8 step anyway).
 
 The graph mirrors models/resnet.ResNet31 exactly (stage widths/counts and
 the asymmetric (2,1) reductions of reference feature_extraction.py:78-87).
@@ -117,12 +118,19 @@ def _forward(
     oc: int,
     layers: Sequence[int],
     record: Optional[Dict] = None,
+    act_dtype=jnp.float32,
 ):
     """Mirror of ResNet31.__call__.
 
     ``sites`` maps site name -> (f32 kernel, bias) for calibration mode
     (record is a dict collecting per-site input abs-max) or -> QConv for
     int8 mode.
+
+    ``act_dtype``: storage dtype of inter-site activations in int8 mode.
+    bf16 halves the HBM traffic of the dequant->requant glue between convs
+    (the epilogue math stays f32; the tensor is re-quantized to int8 at the
+    next site anyway, so bf16's mantissa costs ~nothing next to the int8
+    step size).
     """
 
     def site_conv(h, name, strides=(1, 1), padding=1, relu=True, kernel=None):
@@ -138,11 +146,13 @@ def _forward(
         else:
             q: QConv = s
             inv = 1.0 / q.x_scale
-            hq = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+            hq = jnp.clip(jnp.round(h.astype(jnp.float32) * inv),
+                          -127, 127).astype(jnp.int8)
             out32 = _conv(hq, q.kernel_q, strides, padding, jnp.int32)
             deq = q.x_scale * q.w_scale  # [co]
             out = out32.astype(jnp.float32) * deq[None, None, None, :]
             out = out + q.bias[None, None, None, :]
+            out = out.astype(act_dtype)
         return jax.nn.relu(out) if relu else out
 
     def block(h, name, planes):
@@ -152,7 +162,8 @@ def _forward(
         if h.shape[-1] != planes:
             residual = site_conv(h, f"{name}/downsample_conv",
                                  padding=0, relu=False)
-        return jax.nn.relu(out + residual)
+        return jax.nn.relu(out.astype(jnp.float32) +
+                           residual.astype(jnp.float32)).astype(act_dtype)
 
     stage_ch = (oc // 4, oc // 2, oc, oc)
     x = x.astype(jnp.float32)
@@ -266,6 +277,14 @@ def quantize_resnet(
                  output_channels, layers, record=record)
         x_absmax = {name: float(np.asarray(v)) for name, v in record.items()}
 
+    return _quantize_folded(folded, x_absmax)
+
+
+def _quantize_folded(
+    folded: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    x_absmax: Dict[str, float],
+) -> Dict[str, QConv]:
+    """Per-channel weight quant + static activation scale for each site."""
     qsites = {}
     for name, (kf, bias) in folded.items():
         absmax = np.abs(kf).max(axis=(0, 1, 2))
@@ -282,49 +301,194 @@ def quantize_resnet(
     return qsites
 
 
+# ---------------------------------------------------------------------------
+# TPS localization-network PTQ (same recipe, applied to the rectifier's
+# conv stack — models/transformation.LocalizationNetwork; the fiducial FC
+# head and the TPS solve/warp stay float, they are tiny and precision-
+# critical).  Replaces the reference's float loc-net convs
+# (/root/reference/modules/transformation.py:48-58) for int8 serving.
+# ---------------------------------------------------------------------------
+
+TPS_CONV_CHANNELS = (64, 128, 256, 512)
+
+
+def _tps_sites(variables, scope: str = "transformation"):
+    """BN-folded f32 kernels for the four loc-net convs."""
+    p = variables["params"][scope]["loc_net"]
+    s = variables["batch_stats"][scope]["loc_net"]
+    sites = {}
+    for ch in TPS_CONV_CHANNELS:
+        k = np.asarray(p[f"conv{ch}"]["kernel"], np.float32)
+        sites[f"conv{ch}"] = _fold_bn(
+            k,
+            np.asarray(p[f"bn{ch}"]["scale"], np.float32),
+            np.asarray(p[f"bn{ch}"]["bias"], np.float32),
+            np.asarray(s[f"bn{ch}"]["mean"], np.float32),
+            np.asarray(s[f"bn{ch}"]["var"], np.float32),
+        )
+    return sites
+
+
+def _tps_locnet_forward(
+    sites: Dict,
+    x: jnp.ndarray,
+    record: Optional[Dict] = None,
+    act_dtype=jnp.bfloat16,
+):
+    """Conv stack of LocalizationNetwork (conv-BN-ReLU x4 with 2x2 pools
+    after the first three); calibration vs int8 mode as in _forward."""
+    x = x.astype(jnp.float32)
+    for ch in TPS_CONV_CHANNELS:
+        name = f"conv{ch}"
+        s = sites[name]
+        if record is not None:
+            record[name] = jnp.maximum(
+                record.get(name, 0.0), jnp.max(jnp.abs(x)).astype(jnp.float32)
+            )
+            kf, bias = s
+            out = _conv(x, jnp.asarray(kf), (1, 1), 1, jnp.float32)
+            out = out + bias[None, None, None, :]
+        else:
+            q: QConv = s
+            hq = jnp.clip(jnp.round(x.astype(jnp.float32) / q.x_scale),
+                          -127, 127).astype(jnp.int8)
+            out32 = _conv(hq, q.kernel_q, (1, 1), 1, jnp.int32)
+            deq = q.x_scale * q.w_scale
+            out = out32.astype(jnp.float32) * deq[None, None, None, :]
+            out = (out + q.bias[None, None, None, :]).astype(act_dtype)
+        x = jax.nn.relu(out)
+        if ch != TPS_CONV_CHANNELS[-1]:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    return x
+
+
+def calibrate_tps(
+    variables: Dict,
+    calib_images: jnp.ndarray,
+    scope: str = "transformation",
+) -> Dict[str, float]:
+    """Record loc-net per-site activation abs-max; calib_images are RAW
+    input crops (the loc-net sees the unrectified image)."""
+    folded = _tps_sites(variables, scope)
+    record: Dict = {}
+    _tps_locnet_forward(folded, jnp.asarray(calib_images, jnp.float32),
+                        record=record)
+    return {name: float(np.asarray(v)) for name, v in record.items()}
+
+
+def quantize_tps(
+    variables: Dict,
+    calib_images: Optional[jnp.ndarray] = None,
+    x_absmax: Optional[Dict[str, float]] = None,
+    scope: str = "transformation",
+) -> Dict[str, QConv]:
+    """PTQ of the TPS localization convs (see :func:`calibrate_tps`)."""
+    folded = _tps_sites(variables, scope)
+    if x_absmax is None:
+        if calib_images is None:
+            raise ValueError("need calib_images or x_absmax")
+        x_absmax = calibrate_tps(variables, calib_images, scope)
+    return _quantize_folded(folded, x_absmax)
+
+
+def tps_int8_rectify(
+    variables: Dict,
+    qsites: Dict[str, QConv],
+    images: jnp.ndarray,
+    num_fiducial: int = 20,
+    out_h: int = 32,
+    out_w: int = 100,
+    scope: str = "transformation",
+) -> jnp.ndarray:
+    """Rectify with int8 loc-net convs: predict fiducials, solve TPS, warp.
+
+    Mirrors models/transformation.TPSTransform.__call__ (bf16 flagship
+    path: DEFAULT-precision matmul-form bilinear sampling)."""
+    from ..ops import tps as tps_ops
+    from ..ops.grid_sample import grid_sample
+
+    feats = _tps_locnet_forward(qsites, images)
+    x = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
+    p = variables["params"][scope]["loc_net"]
+    x = jax.nn.relu(x @ p["fc1"]["kernel"].astype(jnp.float32)
+                    + p["fc1"]["bias"].astype(jnp.float32))
+    x = (x @ p["fc2"]["kernel"].astype(jnp.float32)
+         + p["fc2"]["bias"].astype(jnp.float32))
+    c_prime = x.reshape(-1, num_fiducial, 2)
+    grid = tps_ops.build_sampling_grid(c_prime, out_h, out_w)
+    return grid_sample(images, grid, precision=jax.lax.Precision.DEFAULT)
+
+
 def resnet31_int8_forward(
     qsites: Dict[str, QConv],
     x: jnp.ndarray,
     output_channels: int = 512,
     layers: Sequence[int] = (1, 2, 5, 3),
+    act_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Int8 inference forward: [B, 32, 100, 1] -> [B, 1, W/4+1, oc]."""
-    return _forward(qsites, x, output_channels, layers, record=None)
+    """Int8 inference forward: [B, 32, 100, 1] -> [B, 1, W/4+1, oc].
+
+    Inter-site activations are stored bf16 by default (see :func:`_forward`
+    — halves dequant/requant HBM traffic; pass ``act_dtype=jnp.float32``
+    for the f32-glue variant)."""
+    return _forward(qsites, x, output_channels, layers, record=None,
+                    act_dtype=act_dtype)
 
 
 def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
     """Build a jitted greedy-decode step whose backbone runs int8.
 
     Activation scales come from ``x_absmax`` (persisted calibration, see
-    :func:`calibrate_resnet`) or are calibrated on ``calib_batch`` (a device
-    batch dict with normalized or uint8 images).  Returns
-    ``(eval_step, qsites)`` where ``eval_step(variables, qsites, batch) ->
-    predicted ids [B, T]``.  Splices: TPS (bf16) -> int8 ResNet -> columns
-    -> encoder/decoder (the model's own modules) — everything else
-    identical to the float path.
+    :func:`calibrate_resnet`; TPS loc-net sites carry a ``tps/`` key
+    prefix) or are calibrated on ``calib_batch`` (a device batch dict with
+    normalized or uint8 images).  Returns ``(eval_step, qsites)`` where
+    ``eval_step(variables, qsites, batch) -> predicted ids [B, T]``.
+    Splices: TPS (int8 loc-net when ``model.cfg.tps_int8``, else bf16) ->
+    int8 ResNet -> columns -> encoder/decoder (the model's own modules) —
+    everything else identical to the float path.
     """
     from ..train.steps import prep_image
     from .model import to_column_sequence
 
     cfg = model.cfg
-    rectified = None
-    if x_absmax is None:
+    tps8 = getattr(cfg, "tps_int8", False)
+    images = rectified = None
+    rn_absmax = tps_absmax = None
+    if x_absmax is not None:
+        rn_absmax = {k: v for k, v in x_absmax.items()
+                     if not k.startswith("tps/")}
+        tps_absmax = {k[len("tps/"):]: v for k, v in x_absmax.items()
+                      if k.startswith("tps/")}
+    else:
         if calib_batch is None:
             raise ValueError("need calib_batch or x_absmax")
-        rectified = model.apply(
-            variables, prep_image(calib_batch["image"]),
-            method=type(model).rectify,
-        )
+        images = prep_image(calib_batch["image"])
+        rectified = model.apply(variables, images,
+                                method=type(model).rectify)
     qsites = quantize_resnet(
         variables, rectified, output_channels=cfg.hidden_dim,
-        x_absmax=x_absmax,
+        x_absmax=rn_absmax,
     )
+    if tps8:
+        tq = quantize_tps(variables, calib_images=images,
+                          x_absmax=tps_absmax or None)
+        qsites.update({f"tps/{k}": v for k, v in tq.items()})
 
     def eval_step(variables, qsites, batch):
-        x = model.apply(variables, prep_image(batch["image"]),
-                        method=type(model).rectify)
+        img = prep_image(batch["image"])
+        if tps8:
+            tq = {k[len("tps/"):]: v for k, v in qsites.items()
+                  if k.startswith("tps/")}
+            x = tps_int8_rectify(
+                variables, tq, img, num_fiducial=cfg.num_fiducial,
+                out_h=cfg.img_h, out_w=cfg.img_w)
+        else:
+            x = model.apply(variables, img, method=type(model).rectify)
         feats = resnet31_int8_forward(
-            qsites, x, output_channels=cfg.hidden_dim)
+            {k: v for k, v in qsites.items() if not k.startswith("tps/")},
+            x, output_channels=cfg.hidden_dim)
         cols = to_column_sequence(feats).astype(jnp.float32)
         logits = model.apply(
             variables, cols, batch["overlap"], batch["scene"], batch["ious"],

@@ -105,9 +105,16 @@ def probe(name, mcfg):
 
 
 base = dataclasses.replace(cfg.model, decode_fused=True, encoder_int8=True)
-probe("early_stop=True  enc=int8", dataclasses.replace(
-    base, decode_early_stop=True))
-probe("early_stop=False enc=int8", dataclasses.replace(
-    base, decode_early_stop=False))
-probe("early_stop=True  enc=bf16", dataclasses.replace(
-    base, decode_early_stop=True, encoder_int8=False))
+VARIANTS = {
+    "es+enc8": dataclasses.replace(base, decode_early_stop=True),
+    "fixed+enc8": dataclasses.replace(base, decode_early_stop=False),
+    "es+encbf16": dataclasses.replace(base, decode_early_stop=True,
+                                      encoder_int8=False),
+    "es+enc8+tps8": dataclasses.replace(base, decode_early_stop=True,
+                                        tps_int8=True),
+}
+only = os.environ.get("VARIANTS", "")
+for name, mcfg in VARIANTS.items():
+    if only and name not in only.split(","):
+        continue
+    probe(name, mcfg)
