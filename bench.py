@@ -312,12 +312,55 @@ def bench_trained(cfg: ModelConfig, iters=20):
     log(f"trained serving: {crops_per_sec:.1f} crops/s "
         f"({dt * 1e3:.2f} ms/batch), val acc int8 {acc_int8:.2f}% "
         f"vs float {acc_float:.2f}%")
+
+    # batched beam search k=5 (a BASELINE.json config) on the trained
+    # checkpoint — slope-timed over the same varied device-resident batches
+    # (beam rides the XLA scan stepper + early stop; the fused kernel is
+    # greedy-only)
+    beam = None
+    try:
+        from multimodal_scene_text_recognition_tpu.models.model import (
+            SceneTextModel,
+        )
+
+        def beam_body(v, b):
+            img = b["image"]
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
+            ids, _ = fmodel.apply(v, img, b["overlap"], b["scene"],
+                                  b["ious"], 5,
+                                  method=SceneTextModel.beam_decode)
+            return jnp.sum(ids)
+
+        def make_beam_loop(k):
+            @jax.jit
+            def loop():
+                def body(i, acc):
+                    b = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, i % nK, keepdims=False), stacked)
+                    return acc + beam_body(variables, b)
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return loop
+
+        bk1, bk2 = 2, 6
+        bslope = (best_time(make_beam_loop(bk2))
+                  - best_time(make_beam_loop(bk1))) / (bk2 - bk1)
+        beam = B / bslope
+        log(f"beam k=5: {beam:.1f} crops/s ({bslope * 1e3:.2f} ms/batch, "
+            f"early stop, varied real batches)")
+    except Exception as e:
+        log(f"beam bench failed: {e}")
+
     return {
         "trained_decode_crops_per_sec": round(crops_per_sec, 1),
         "trained_batch_ms": round(dt * 1e3, 2),
         "trained_pipelined_crops_per_sec": round(pipelined, 1),
         "trained_val_accuracy_int8": round(acc_int8, 2),
         "trained_val_accuracy_float": round(acc_float, 2),
+        "beam5_crops_per_sec": round(beam, 1) if beam else None,
     }
 
 

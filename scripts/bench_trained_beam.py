@@ -1,6 +1,11 @@
 """Trained-model beam-search benchmark: fixed-length scan vs early-stop
 while_loop (k=5, B=192) — VERDICT r2 #4b evidence.
 
+Slope-timed over varied real val batches (one jit program runs K beam
+decodes round-robin from the device-resident corpus; marginal ms/batch =
+slope between two trip counts) — same methodology as scripts/mfu_table.py,
+immune to dispatch overhead and identical-enqueue dedup.
+
 Early stop only pays on a trained model (beams actually emit [s]).
 Run on the real chip; serialize with other TPU jobs.
 """
@@ -38,43 +43,72 @@ from multimodal_scene_text_recognition_tpu.train.state import (
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "results/models/synth_openvocab_xxl"
 B, K = 192, 5
+K1, K2 = int(os.environ.get("K1", "3")), int(os.environ.get("K2", "9"))
 
 cfg = Config()
 codec = AttnCodec(cfg.model.chars, cfg.model.max_text_length)
 val = make_packed_dataset(codec, 2048, seed=cfg.train.seed + 1,
                           cache_dir="results/synth_cache")
-batch = device_batch(next(iter(packed_batches(val, B, shuffle=False))))
-batch["image"] = batch["image"].astype(jnp.float32) / 255.0
+full = [b for b in packed_batches(val, B, shuffle=False)
+        if b["image"].shape[0] == B]
+stacked = device_batch({k: np.stack([b[k] for b in full])
+                        for k in ("image", "overlap", "scene", "ious")})
+nB = len(full)
+batch = device_batch(full[0])
 
 model0 = build_model(cfg.model)
-state = create_train_state(model0, make_optimizer(cfg.train),
-                           batch, jax.random.PRNGKey(0))
+state = create_train_state(model0, make_optimizer(cfg.train), batch,
+                           jax.random.PRNGKey(0))
 state = restore_checkpoint(os.path.abspath(CKPT), state)
 variables = state.variables()
 print(f"restored step={int(state.step)}", flush=True)
 
 
-def timeit(fn, iters=10):
-    np.asarray(fn()[0])
-    np.asarray(fn()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    np.asarray(out[0])
-    return (time.perf_counter() - t0) / iters * 1e3
+def slope_ms(make_fn, reps=3):
+    def run(k):
+        f = make_fn(k)
+        np.asarray(f())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(K1), run(K2)
+    return (t2 - t1) / (K2 - K1) * 1e3
 
 
 toks = {}
 for early in (False, True):
     mcfg = dataclasses.replace(cfg.model, decode_early_stop=early)
     model = build_model(mcfg)
-    f = jax.jit(lambda v, m=model: m.apply(
-        v, batch["image"], batch["overlap"], batch["scene"], batch["ious"],
-        K, method=SceneTextModel.beam_decode))
-    t = timeit(lambda: f(variables))
-    toks[early] = np.asarray(f(variables)[0])
-    print(f"beam k={K} early_stop={early}: {t:6.1f} ms/batch = "
-          f"{B / t * 1e3:6.0f} crops/s", flush=True)
+
+    def beam(v, b, m=model):
+        img = b["image"]
+        if img.dtype == jnp.uint8:  # packed corpora ship uint8 on the wire
+            img = img.astype(jnp.float32) / 255.0
+        return m.apply(v, img, b["overlap"], b["scene"], b["ious"],
+                       K, method=SceneTextModel.beam_decode)
+
+    def make_fn(k):
+        @jax.jit
+        def loop(v, st):
+            def body(i, acc):
+                b = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, i % nB, keepdims=False), st)
+                ids, _ = beam(v, b)
+                return acc + jnp.sum(ids)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return lambda: loop(variables, stacked)
+
+    t = slope_ms(make_fn)
+    toks[early] = np.asarray(jax.jit(beam)(variables, batch)[0])
+    print(f"beam k={K} early_stop={early}: {t:6.2f} ms/batch = "
+          f"{B / t * 1e3:6.0f} crops/s (slope, varied batches)", flush=True)
 
 s0, s1 = codec.decode(toks[False]), codec.decode(toks[True])
 agree = sum(a == b for a, b in zip(s0, s1)) / len(s0)
