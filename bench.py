@@ -224,8 +224,22 @@ def bench_trained(cfg: ModelConfig, iters=20):
     log(f"trained checkpoint restored (step {int(state.step)})")
 
     # int8 serving step: PTQ backbone spliced + int8 fused decode kernel
-    # (the decoder quantization rides the model config)
-    step, qsites = make_int8_eval_step(model, variables, calib_batch=batch0)
+    # (the decoder quantization rides the model config).  Activation scales
+    # come from the calibration npz shipped next to the checkpoint when
+    # present (scripts/persist_int8_scales.py — serving must not depend on
+    # the first batch seen); otherwise calibrate on this real val batch.
+    scales_path = TRAINED_CKPT + ".scales.npz"
+    if os.path.exists(scales_path):
+        from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
+            load_activation_scales,
+        )
+
+        log(f"int8 scales: persisted ({os.path.basename(scales_path)})")
+        step, qsites = make_int8_eval_step(
+            model, variables, x_absmax=load_activation_scales(scales_path))
+    else:
+        step, qsites = make_int8_eval_step(model, variables,
+                                           calib_batch=batch0)
     np.asarray(step(variables, qsites, batch0))
     t0 = time.perf_counter()
     out = None
