@@ -77,6 +77,18 @@ class Recognizer:
 
     @classmethod
     def from_bundle(cls, bundle, **kw) -> "Recognizer":
+        """Build from an api.get_model bundle.  When serving int8 from an
+        Orbax checkpoint, a calibration npz persisted next to it
+        (``<ckpt>.scales.npz`` — scripts/persist_int8_scales.py) is picked
+        up automatically unless ``int8_scales_path`` is given."""
+        if kw.get("int8_backbone") and "int8_scales_path" not in kw:
+            import os
+
+            saved = getattr(bundle.cfg, "saved_model", None)
+            if saved and not saved.endswith((".pt", ".pth")):
+                cand = saved + ".scales.npz"
+                if os.path.exists(cand):
+                    kw["int8_scales_path"] = cand
         return cls(bundle.model, bundle.variables, bundle.cfg, **kw)
 
     def calibrate_int8(self, crops: Sequence[np.ndarray]) -> None:

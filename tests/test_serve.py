@@ -68,3 +68,69 @@ def test_recognizer_int8_backbone():
     tq = rec_q.recognize(crops)
     assert len(tf) == len(tq) == B
     assert all(isinstance(t, str) for t in tq)
+
+
+def test_recognizer_persisted_scales(tmp_path):
+    """Persisted-calibration serving: scales saved next to a checkpoint are
+    loaded (no lazy first-batch calibration) and produce the same strings
+    as in-process calibration; from_bundle picks the npz up automatically."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_scene_text_recognition_tpu.core.config import (
+        Config,
+        apply_overrides,
+    )
+    from multimodal_scene_text_recognition_tpu.models.model import build_model
+    from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
+        calibrate_resnet,
+        save_activation_scales,
+    )
+
+    cfg = apply_overrides(Config(), [
+        "model.enc_layers=1", "model.dec_layers=1", "model.ff_dim=64",
+        "model.hidden_dim=64", "model.embed_dim=32", "model.num_heads=4",
+        "model.compute_dtype=float32",
+    ])
+    model = build_model(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    B = 2
+    img = jnp.asarray(np.random.default_rng(0).random(
+        (B, 32, 100, 1), dtype=np.float32))
+    text = jnp.zeros((B, cfg.model.max_text_length + 2), jnp.int32)
+    ov = jnp.zeros((B, cfg.model.max_overlap_objs), jnp.int32)
+    sc = jnp.zeros((B, cfg.model.max_scene_objs), jnp.int32)
+    io = jnp.full((B, cfg.model.max_scene_objs), -1000.0, jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           img, text, ov, sc, io, train=False)
+    crops = [np.asarray(img[i, :, :, 0]) for i in range(B)]
+
+    # persist scales computed over the same crops
+    rectified = model.apply(variables, img, method=type(model).rectify)
+    scales = calibrate_resnet(variables, rectified,
+                              output_channels=cfg.model.hidden_dim)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    path = str(ckpt) + ".scales.npz"
+    save_activation_scales(path, scales)
+
+    rec_p = Recognizer(model, variables, cfg, batch_sizes=(2,),
+                       int8_backbone=True, int8_scales_path=path)
+    assert rec_p._int8_absmax is not None  # loaded, not lazy
+    rec_l = Recognizer(model, variables, cfg, batch_sizes=(2,),
+                       int8_backbone=True)
+    assert rec_p.recognize(crops) == rec_l.recognize(crops)
+
+    # from_bundle auto-pickup via cfg.saved_model
+    import dataclasses
+
+    class FakeBundle:
+        def __init__(self):
+            self.model = model
+            self.variables = variables
+            self.cfg = dataclasses.replace(cfg, saved_model=str(ckpt))
+
+    rec_b = Recognizer.from_bundle(FakeBundle(), batch_sizes=(2,),
+                                   int8_backbone=True)
+    assert rec_b.int8_scales_path == path
+    assert rec_b._int8_absmax is not None
