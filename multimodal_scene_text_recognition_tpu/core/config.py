@@ -32,6 +32,10 @@ class ModelConfig:
     # --- component selectors (reference: config.py:27-28) ---
     encoder: str = "transformer"  # lstm | transformer | oscar
     decoder: str = "transformer"  # lstm | transformer | linear
+    # No-TPS ablation (BASELINE.json config #2): skip the rectification
+    # stage and feed raw crops to the backbone.  The reference hardwires
+    # TPS (model.py:39-40,87-88); this switch makes the ablation runnable.
+    use_tps: bool = True
 
     # --- dimensions (reference: config.py:31-32, model.py:21-30) ---
     embed_dim: int = 256

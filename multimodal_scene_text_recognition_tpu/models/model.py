@@ -37,10 +37,17 @@ class SceneTextModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.transformation = TPSTransform(
-            cfg.num_fiducial, cfg.img_h, cfg.img_w, dtype=dtype,
-            name="transformation"
-        )
+        # no-TPS ablation (cfg.use_tps=False): identity rectification —
+        # raw crops go straight to the backbone (the reference hardwires
+        # TPS, model.py:39-40; BASELINE.json lists the ablation as a
+        # benchmark config)
+        if cfg.use_tps:
+            self.transformation = TPSTransform(
+                cfg.num_fiducial, cfg.img_h, cfg.img_w, dtype=dtype,
+                name="transformation"
+            )
+        else:
+            self.transformation = lambda image, train=False: image
         # static_argnums: (self, x, train) — the train flag is trace-static
         backbone_cls = (
             nn.remat(ResNet31, static_argnums=(2,)) if cfg.remat else ResNet31

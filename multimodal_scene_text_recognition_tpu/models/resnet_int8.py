@@ -453,7 +453,8 @@ def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
     from .model import to_column_sequence
 
     cfg = model.cfg
-    tps8 = getattr(cfg, "tps_int8", False)
+    # tps_int8 is meaningless under the no-TPS ablation (identity rectify)
+    tps8 = getattr(cfg, "tps_int8", False) and getattr(cfg, "use_tps", True)
     images = rectified = None
     rn_absmax = tps_absmax = None
     if x_absmax is not None:

@@ -78,12 +78,27 @@ def init_and_run(cfg, train=True):
         (dict(semantic_vector="combined"), (2, 26, 97), (2, 25, 97)),
         (dict(semantic_source="zero"), (2, 26, 97), (2, 25, 97)),
         (dict(semantic_source="rand"), (2, 26, 97), (2, 25, 97)),
+        (dict(use_tps=False), (2, 26, 97), (2, 25, 97)),
     ],
 )
 def test_config_combo_shapes(kw, train_shape, eval_shape):
     cfg = ModelConfig(**SMALL, **kw)
     assert init_and_run(cfg, train=True).shape == train_shape
     assert init_and_run(cfg, train=False).shape == eval_shape
+
+
+def test_no_tps_ablation_skips_rectification():
+    """use_tps=False (BASELINE.json ablation config): no TPS params exist
+    and rectify is the identity."""
+    cfg = ModelConfig(**SMALL, use_tps=False)
+    model = build_model(cfg)
+    img, text, overlap, scene, ious = make_inputs()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           img, text, overlap, scene, ious, train=True)
+    assert "transformation" not in variables["params"]
+    rect = model.apply(variables, img, method=type(model).rectify)
+    np.testing.assert_array_equal(np.asarray(rect), np.asarray(img))
 
 
 @pytest.mark.parametrize(
