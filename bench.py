@@ -405,6 +405,39 @@ def cpu_baseline(cfg: ModelConfig) -> float:
     return value
 
 
+def _wait_for_backend(deadline_s: float = 1200.0, probe_timeout: int = 300):
+    """Block until the TPU backend is reachable (or the deadline passes).
+
+    The axon tunnel can be down for minutes at a time; a failed plugin init
+    is cached for the life of the process, so probe from a SUBPROCESS and
+    only touch jax in this process once a probe succeeds.  Falls through
+    after the deadline (the real error will surface naturally)."""
+    import subprocess
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"TPU backend up after {time.time() - t0:.0f}s")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline_s - (time.time() - t0)
+        if remaining <= 0:
+            log(f"TPU backend still unreachable after {deadline_s:.0f}s — "
+                "proceeding (the real error will surface)")
+            return False
+        log(f"TPU backend unreachable (probe {attempt}); retrying "
+            f"({remaining:.0f}s left)")
+        time.sleep(min(60, remaining))
+
+
 def _retry(fn, attempts=3, label=""):
     """The axon tunnel occasionally drops a remote-compile response; retry."""
     for i in range(attempts):
@@ -493,6 +526,8 @@ def main():
     # the fused whole-decode Pallas kernel (ops/fused_decode.py) is the
     # flagship decode path: ~+7% end-to-end over the XLA scan at B=192
     cfg = ModelConfig(decode_fused=True)
+    if os.environ.get("BENCH_NO_WAIT") != "1":
+        _wait_for_backend()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     model, variables, batch = _retry(lambda: build(cfg), label="build")
