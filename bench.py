@@ -162,7 +162,7 @@ def load_real_val(cfg: ModelConfig, n: int = 2048):
 
         codec = AttnCodec(cfg.chars, cfg.max_text_length)
         val = make_packed_dataset(
-            codec, n, seed=1000,  # Config().train.seed + 1 — the held-out set
+            codec, n, seed=TrainConfig().seed + 1,  # the held-out set
             cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "results", "synth_cache"),
         )
@@ -257,6 +257,11 @@ def bench_trained(cfg: ModelConfig, iters=20):
     # This is the steady-state rate of a production serving loop with a
     # device-resident queue; per-call loops re-enqueueing one identical
     # batch are vulnerable to runtime dedup and kept only for latency.
+    from multimodal_scene_text_recognition_tpu.utils.timing import (
+        roundrobin,
+        slope_ms,
+    )
+
     full = [b for b in packed_batches(val, B, shuffle=False) if
             b["image"].shape[0] == B]
     stacked = device_batch({
@@ -264,33 +269,11 @@ def bench_trained(cfg: ModelConfig, iters=20):
         for k in ("image", "overlap", "scene", "ious")})
     nK = len(full)
 
-    def make_loop(k):
-        @jax.jit
-        def loop():
-            def body(i, acc):
-                b = jax.tree_util.tree_map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, i % nK, keepdims=False), stacked)
-                return acc + jnp.sum(step(variables, qsites, b))
-
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-        return loop
-
-    def best_time(f, reps=3):
-        np.asarray(f())
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    k1, k2 = 6, 16
-    slope = (best_time(make_loop(k2)) - best_time(make_loop(k1))) / (k2 - k1)
-    pipelined = B / slope
+    ms = slope_ms(roundrobin(lambda b: step(variables, qsites, b),
+                             stacked, nK), 6, 16)
+    pipelined = B / ms * 1e3
     log(f"pipelined serving: {pipelined:.1f} crops/s "
-        f"({slope * 1e3:.2f} ms/batch marginal, varied real batches)")
+        f"({ms:.2f} ms/batch marginal, varied real batches)")
 
     # word accuracy over the full val set: int8 pipeline vs float pipeline
     def accuracy(decode_fn):
@@ -337,33 +320,18 @@ def bench_trained(cfg: ModelConfig, iters=20):
             SceneTextModel,
         )
 
-        def beam_body(v, b):
+        def beam_ids(b):
             img = b["image"]
             if img.dtype == jnp.uint8:
                 img = img.astype(jnp.float32) / 255.0
-            ids, _ = fmodel.apply(v, img, b["overlap"], b["scene"],
+            ids, _ = fmodel.apply(variables, img, b["overlap"], b["scene"],
                                   b["ious"], 5,
                                   method=SceneTextModel.beam_decode)
-            return jnp.sum(ids)
+            return ids
 
-        def make_beam_loop(k):
-            @jax.jit
-            def loop():
-                def body(i, acc):
-                    b = jax.tree_util.tree_map(
-                        lambda a: jax.lax.dynamic_index_in_dim(
-                            a, i % nK, keepdims=False), stacked)
-                    return acc + beam_body(variables, b)
-
-                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-            return loop
-
-        bk1, bk2 = 2, 6
-        bslope = (best_time(make_beam_loop(bk2))
-                  - best_time(make_beam_loop(bk1))) / (bk2 - bk1)
-        beam = B / bslope
-        log(f"beam k=5: {beam:.1f} crops/s ({bslope * 1e3:.2f} ms/batch, "
+        bms = slope_ms(roundrobin(beam_ids, stacked, nK), 2, 6)
+        beam = B / bms * 1e3
+        log(f"beam k=5: {beam:.1f} crops/s ({bms:.2f} ms/batch, "
             f"early stop, varied real batches)")
     except Exception as e:
         log(f"beam bench failed: {e}")

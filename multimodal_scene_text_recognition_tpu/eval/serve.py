@@ -50,6 +50,7 @@ class Recognizer:
         self._int8_step = None
         self._qsites = None
         self._int8_absmax = None
+        self._drift_checked = False
         if int8_scales_path is not None:
             import os
 
@@ -91,32 +92,24 @@ class Recognizer:
                     kw["int8_scales_path"] = cand
         return cls(bundle.model, bundle.variables, bundle.cfg, **kw)
 
-    def calibrate_int8(self, crops: Sequence[np.ndarray]) -> None:
-        """Calibrate the int8 backbone's activation scales on representative
-        crops and (if ``int8_scales_path`` is set) persist them.
-
-        If scales were already loaded/calibrated, the new observation is
-        checked for drift (>2x range growth at any conv site warns —
-        models/resnet_int8.check_scale_drift)."""
-        from ..models.resnet_int8 import (
-            calibrate_resnet,
-            check_scale_drift,
-            save_activation_scales,
-        )
+    def _observe_absmax(self, crops: Sequence[np.ndarray]):
+        """Per-conv-site activation abs-max over real crops (pad rows are
+        filled by cycling the real crops, never zeros)."""
+        from ..models.resnet_int8 import calibrate_resnet
         from ..train.steps import prep_image
 
         B = self._bucket(min(len(crops), self.batch_sizes[-1]))
         batch = self._prepare(list(crops)[: self.batch_sizes[-1]], B,
                               tile_real=True)
-        rectified = self.model.apply(
-            self.variables, prep_image(batch["image"]),
-            method=type(self.model).rectify,
-        )
         observed = calibrate_resnet(
-            self.variables, rectified,
+            self.variables, self.model.apply(
+                self.variables, prep_image(batch["image"]),
+                method=type(self.model).rectify,
+            ),
             output_channels=self.cfg.model.hidden_dim,
         )
-        if getattr(self.cfg.model, "tps_int8", False):
+        if (getattr(self.cfg.model, "tps_int8", False)
+                and getattr(self.cfg.model, "use_tps", True)):
             from ..models.resnet_int8 import calibrate_tps
 
             observed.update({
@@ -124,8 +117,21 @@ class Recognizer:
                 for k, v in calibrate_tps(
                     self.variables, prep_image(batch["image"])).items()
             })
+        return observed
+
+    def calibrate_int8(self, crops: Sequence[np.ndarray]) -> None:
+        """Calibrate the int8 backbone's activation scales on representative
+        crops and (if ``int8_scales_path`` is set) persist them.
+
+        If scales were already loaded/calibrated, the new observation is
+        checked for drift (>2x range growth at any conv site warns —
+        models/resnet_int8.check_scale_drift)."""
+        from ..models.resnet_int8 import check_scale_drift, save_activation_scales
+
+        observed = self._observe_absmax(crops)
         if self._int8_absmax is not None:
             check_scale_drift(self._int8_absmax, observed)
+        self._drift_checked = True
         self._int8_absmax = observed
         self._int8_step = None  # rebuild with the new scales
         self._qsites = None
@@ -229,6 +235,15 @@ class Recognizer:
                         self.model, self.variables,
                         x_absmax=self._int8_absmax,
                     )
+                if not self._drift_checked:
+                    # persisted/loaded scales: validate once against the
+                    # ranges this process actually sees (warn-only —
+                    # models/resnet_int8.check_scale_drift)
+                    from ..models.resnet_int8 import check_scale_drift
+
+                    check_scale_drift(self._int8_absmax,
+                                      self._observe_absmax(chunk))
+                    self._drift_checked = True
                 ids = self._int8_step(self.variables, self._qsites, batch)
                 out_scores.extend([0.0] * len(chunk))
             else:

@@ -473,6 +473,13 @@ def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
         x_absmax=rn_absmax,
     )
     if tps8:
+        if images is None and not tps_absmax:
+            raise ValueError(
+                "tps_int8 needs TPS activation scales: the persisted npz "
+                "has no tps/ keys (regenerate with "
+                "scripts/persist_int8_scales.py, which writes them when "
+                "model.tps_int8 is set) or pass calib_batch"
+            )
         tq = quantize_tps(variables, calib_images=images,
                           x_absmax=tps_absmax or None)
         qsites.update({f"tps/{k}": v for k, v in tq.items()})

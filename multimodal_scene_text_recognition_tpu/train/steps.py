@@ -70,15 +70,29 @@ def ctc_loss(
     decodes with the CTCCodec's greedy best-path collapse.
 
     logits: [B, T, C]; labels: [B, L] (0-padded); label_lengths: [B].
+
+    Rows with no feasible CTC alignment — a label needs
+    ``len + adjacent-repeat-count`` frames (repeats force a blank between
+    them), which can exceed T=26 columns for long repeat-heavy words — are
+    masked out of the mean: optax returns ~1e5 (−log eps) for them, and one
+    such row would otherwise swamp the batch gradient.
     """
     B, T, _ = logits.shape
     logit_paddings = jnp.zeros((B, T), logits.dtype)
     L = labels.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    label_paddings = (pos >= label_lengths[:, None]).astype(logits.dtype)
-    return optax.ctc_loss(
+    valid = pos < label_lengths[:, None]
+    label_paddings = 1.0 - valid.astype(logits.dtype)
+    repeats = jnp.sum(
+        (labels[:, 1:] == labels[:, :-1]) & (labels[:, 1:] != 0) & valid[:, 1:],
+        axis=1,
+    )
+    feasible = (label_lengths + repeats) <= T
+    losses = optax.ctc_loss(
         logits, logit_paddings, labels, label_paddings, blank_id=0
-    ).mean()
+    )
+    w = feasible.astype(losses.dtype)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def ctc_collapse(ids: jnp.ndarray, out_len: int) -> jnp.ndarray:

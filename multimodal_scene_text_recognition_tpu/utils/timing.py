@@ -1,0 +1,68 @@
+"""Slope timing — the one trustworthy device-timing methodology here.
+
+Per-call timings over the axon development tunnel include 10-30 ms of
+dispatch (pytree flatten + tunnel round trip), and back-to-back identical
+enqueues can be deduped by the runtime.  Every bench therefore times ONE
+jit program that runs the body K times inside ``lax.fori_loop`` with a
+data dependence, at two trip counts; the fixed per-call cost cancels in
+the slope ``(t2 - t1) / (k2 - k1)``.  Shared by bench.py and the
+scripts/ benches so the methodology cannot silently diverge.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_ms(make_fn: Callable[[int], Callable], k1: int, k2: int,
+             reps: int = 3) -> float:
+    """ms per loop iteration via the two-trip-count slope.
+
+    ``make_fn(k)`` returns a zero-arg callable running the body k times and
+    returning a device value (drained with np.asarray).  Each trip count is
+    compiled+warmed once and timed best-of-``reps``.
+    """
+
+    def run(k):
+        f = make_fn(k)
+        np.asarray(f())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(k1), run(k2)
+    return (t2 - t1) / (k2 - k1) * 1e3
+
+
+def roundrobin(step_out: Callable, stacked, n_batches: int,
+               ) -> Callable[[int], Callable]:
+    """``make_fn`` factory for :func:`slope_ms` over varied real batches.
+
+    ``stacked`` is a device-resident pytree whose leaves are [n_batches,
+    ...] stacks; the loop body gathers batch ``i % n_batches`` with
+    ``dynamic_index_in_dim`` and folds ``jnp.sum(step_out(batch))`` into a
+    scalar accumulator (the data dependence that defeats DCE and dedup).
+    """
+
+    def make_fn(k):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                b = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, i % n_batches, keepdims=False), stacked)
+                return acc + jnp.sum(step_out(b)).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return loop
+
+    return make_fn

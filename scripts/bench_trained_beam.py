@@ -12,7 +12,6 @@ Run on the real chip; serialize with other TPU jobs.
 import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,6 +39,10 @@ from multimodal_scene_text_recognition_tpu.train.state import (
     create_train_state,
     make_optimizer,
 )
+from multimodal_scene_text_recognition_tpu.utils.timing import (
+    roundrobin,
+    slope_ms,
+)
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "results/models/synth_openvocab_xxl"
 B, K = 192, 5
@@ -64,21 +67,6 @@ variables = state.variables()
 print(f"restored step={int(state.step)}", flush=True)
 
 
-def slope_ms(make_fn, reps=3):
-    def run(k):
-        f = make_fn(k)
-        np.asarray(f())
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(K1), run(K2)
-    return (t2 - t1) / (K2 - K1) * 1e3
-
-
 toks = {}
 for early in (False, True):
     mcfg = dataclasses.replace(cfg.model, decode_early_stop=early)
@@ -91,21 +79,8 @@ for early in (False, True):
         return m.apply(v, img, b["overlap"], b["scene"], b["ious"],
                        K, method=SceneTextModel.beam_decode)
 
-    def make_fn(k):
-        @jax.jit
-        def loop(v, st):
-            def body(i, acc):
-                b = jax.tree_util.tree_map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, i % nB, keepdims=False), st)
-                ids, _ = beam(v, b)
-                return acc + jnp.sum(ids)
-
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-        return lambda: loop(variables, stacked)
-
-    t = slope_ms(make_fn)
+    t = slope_ms(roundrobin(lambda b, f=beam: f(variables, b)[0],
+                            stacked, nB), K1, K2)
     toks[early] = np.asarray(jax.jit(beam)(variables, batch)[0])
     print(f"beam k={K} early_stop={early}: {t:6.2f} ms/batch = "
           f"{B / t * 1e3:6.0f} crops/s (slope, varied batches)", flush=True)

@@ -55,19 +55,9 @@ def flops_of(jitted, *args):
 
 def chained_time_ms(make_loop, reps=3):
     """ms per body iteration via the two-trip-count slope."""
+    from multimodal_scene_text_recognition_tpu.utils.timing import slope_ms
 
-    def run(k):
-        f = make_loop(k)
-        np.asarray(f())  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(K1), run(K2)
-    return (t2 - t1) / (K2 - K1) * 1e3
+    return slope_ms(make_loop, K1, K2, reps=reps)
 
 
 def couple(x, out):

@@ -70,6 +70,18 @@ rectified = model.apply(variables, prep_image(batch["image"]),
                         method=type(model).rectify)
 scales = calibrate_resnet(variables, rectified,
                           output_channels=cfg.model.hidden_dim)
+if cfg.model.use_tps:
+    # always include TPS loc-net scales (tps/ prefix) so the npz also
+    # serves tps_int8 configs, whatever the serving config chooses
+    from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
+        calibrate_tps,
+    )
+
+    scales.update({
+        f"tps/{k}": v
+        for k, v in calibrate_tps(variables,
+                                  prep_image(batch["image"])).items()
+    })
 save_activation_scales(OUT, scales)
 back = load_activation_scales(OUT)
 assert back == {k: np.float32(v) for k, v in scales.items()} or all(

@@ -14,12 +14,10 @@ the int8 vs bf16 encoder.
 import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multimodal_scene_text_recognition_tpu.core.charset import AttnCodec
@@ -41,6 +39,10 @@ from multimodal_scene_text_recognition_tpu.train.checkpoint import (
 from multimodal_scene_text_recognition_tpu.train.state import (
     create_train_state,
     make_optimizer,
+)
+from multimodal_scene_text_recognition_tpu.utils.timing import (
+    roundrobin,
+    slope_ms,
 )
 
 B = 192
@@ -66,40 +68,12 @@ variables = state.variables()
 print(f"restored step={int(state.step)}", flush=True)
 
 
-def slope_ms(make_fn, reps=3):
-    def run(k):
-        f = make_fn(k)
-        np.asarray(f())
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(K1), run(K2)
-    return (t2 - t1) / (K2 - K1) * 1e3
-
-
 def probe(name, mcfg):
     model = build_model(mcfg)
     step, qsites = make_int8_eval_step(model, variables, calib_batch=batch0)
 
-    def make_fn(k):
-        @jax.jit
-        def loop():
-            def body(i, acc):
-                b = jax.tree_util.tree_map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, i % nB, keepdims=False), stacked)
-                ids = step(variables, qsites, b)
-                return acc + jnp.sum(ids)
-
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-        return loop
-
-    ms = slope_ms(make_fn)
+    ms = slope_ms(roundrobin(lambda b: step(variables, qsites, b),
+                             stacked, nB), K1, K2)
     print(f"{name}: {ms:.2f} ms/batch = {B / ms * 1e3:.0f} crops/s",
           flush=True)
 

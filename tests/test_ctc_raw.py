@@ -74,3 +74,21 @@ def test_raw_image_folder(tmp_path):
     s = ds[0]
     assert s.image.shape == (32, 100, 1)
     np.testing.assert_allclose(s.image, 128 / 255.0, atol=1e-6)
+
+
+def test_ctc_infeasible_rows_masked():
+    """A label needing more frames than T (len + adjacent repeats > T) has
+    no valid alignment; optax returns ~1e5 for it.  ctc_loss must exclude
+    such rows from the mean instead of letting one row swamp the batch."""
+    codec = CTCCodec("ab")
+    T = 4
+    # row 0 feasible ("ab" needs 2 frames); row 1 infeasible ("aabb" needs
+    # 4 + 2 repeat-blanks = 6 > 4)
+    labels, lengths = codec.encode(["ab", "aabb"], max_len=6)
+    logits = jnp.asarray(RNG.standard_normal((2, T, codec.num_classes)),
+                         jnp.float32)
+    both = ctc_loss(logits, jnp.asarray(labels), jnp.asarray(lengths))
+    only0 = ctc_loss(logits[:1], jnp.asarray(labels[:1]),
+                     jnp.asarray(lengths[:1]))
+    np.testing.assert_allclose(float(both), float(only0), rtol=1e-5)
+    assert float(both) < 100.0
