@@ -69,6 +69,12 @@ def get_model(saved_model: Optional[str] = None, cfg: Optional[Config] = None) -
             state = state.replace(
                 params=variables["params"], batch_stats=variables["batch_stats"]
             )
+        elif cfg.saved_model.endswith(".npz"):
+            # compact fp16 params bundle (train/checkpoint.save_params_bundle)
+            from .train.checkpoint import restore_params_bundle
+
+            state = restore_params_bundle(cfg.saved_model, state)
+            print(f"  - Loading params bundle: {cfg.saved_model}")
         else:
             from .train.checkpoint import restore_checkpoint
 

@@ -87,7 +87,9 @@ class Recognizer:
 
             saved = getattr(bundle.cfg, "saved_model", None)
             if saved and not saved.endswith((".pt", ".pth")):
-                cand = saved + ".scales.npz"
+                cand = (saved.replace(".params.npz", ".scales.npz")
+                        if saved.endswith(".params.npz")
+                        else saved + ".scales.npz")
                 if os.path.exists(cand):
                     kw["int8_scales_path"] = cand
         return cls(bundle.model, bundle.variables, bundle.cfg, **kw)

@@ -117,6 +117,73 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_params_bundle_roundtrip(tmp_path):
+    """fp16 params bundle (git-committable serving weights): restore matches
+    the source params to fp16 precision, preserves step + batch_stats, and
+    greedy decode over the restored state is identical."""
+    from multimodal_scene_text_recognition_tpu.train.checkpoint import (
+        restore_params_bundle,
+        save_params_bundle,
+    )
+    from multimodal_scene_text_recognition_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    model = build_model(TINY)
+    batch = make_batch()
+    tx = make_optimizer(TrainConfig(batch_size=2))
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    state = state.replace(step=123)
+    path = str(tmp_path / "m.params.npz")
+    save_params_bundle(path, state)
+
+    template = create_train_state(model, tx, batch, jax.random.PRNGKey(7))
+    restored = restore_params_bundle(path, template)
+    assert int(restored.step) == 123
+    for x, y in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        x, y = np.asarray(x, np.float32), np.asarray(y, np.float32)
+        scale = max(float(np.max(np.abs(x))), 1e-8)
+        assert float(np.max(np.abs(x - y))) / scale < 1e-3  # fp16 rounding
+    for x, y in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(restored.batch_stats)):
+        assert np.asarray(x).shape == np.asarray(y).shape
+
+    def greedy(variables):
+        logits = model.apply(variables, batch["image"], None,
+                             batch["overlap"], batch["scene"], batch["ious"],
+                             train=False)
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    np.testing.assert_array_equal(greedy(state.variables()),
+                                  greedy(restored.variables()))
+
+
+def test_params_bundle_shape_mismatch_rejected(tmp_path):
+    from multimodal_scene_text_recognition_tpu.train.checkpoint import (
+        restore_params_bundle,
+        save_params_bundle,
+    )
+    from multimodal_scene_text_recognition_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    import dataclasses
+
+    model = build_model(TINY)
+    batch = make_batch()
+    tx = make_optimizer(TrainConfig(batch_size=2))
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.params.npz")
+    save_params_bundle(path, state)
+
+    other = build_model(dataclasses.replace(TINY, ff_dim=96))
+    template = create_train_state(other, tx, batch, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shape"):
+        restore_params_bundle(path, template)
+
+
 def test_cli_validate_synthetic(tmp_path, capsys):
     from multimodal_scene_text_recognition_tpu.cli import main
 
