@@ -42,27 +42,36 @@ def slope_ms(make_fn: Callable[[int], Callable], k1: int, k2: int,
     return (t2 - t1) / (k2 - k1) * 1e3
 
 
-def roundrobin(step_out: Callable, stacked, n_batches: int,
+def roundrobin(step_out: Callable, stacked, n_batches: int, consts=(),
                ) -> Callable[[int], Callable]:
     """``make_fn`` factory for :func:`slope_ms` over varied real batches.
 
     ``stacked`` is a device-resident pytree whose leaves are [n_batches,
     ...] stacks; the loop body gathers batch ``i % n_batches`` with
-    ``dynamic_index_in_dim`` and folds ``jnp.sum(step_out(batch))`` into a
-    scalar accumulator (the data dependence that defeats DCE and dedup).
+    ``dynamic_index_in_dim`` and folds ``jnp.sum(step_out(batch,
+    *consts))`` into a scalar accumulator (the data dependence that
+    defeats DCE and dedup).
+
+    ``consts`` carries every large pytree the step needs (params,
+    quantized weights, the corpus itself rides ``stacked``) as jit
+    ARGUMENTS.  Closure-capturing them instead embeds each concrete array
+    as a literal constant in the lowered HLO — ~300 MB of trained params
+    per program — which the axon tunnel's remote-compile endpoint rejects
+    with HTTP 413 (and which bloats compile time everywhere else).
     """
 
     def make_fn(k):
         @jax.jit
-        def loop():
+        def loop(stacked, consts):
             def body(i, acc):
                 b = jax.tree_util.tree_map(
                     lambda a: jax.lax.dynamic_index_in_dim(
                         a, i % n_batches, keepdims=False), stacked)
-                return acc + jnp.sum(step_out(b)).astype(jnp.float32)
+                return acc + jnp.sum(step_out(b, *consts)).astype(
+                    jnp.float32)
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-        return loop
+        return lambda: loop(stacked, consts)
 
     return make_fn

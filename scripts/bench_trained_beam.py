@@ -79,8 +79,8 @@ for early in (False, True):
         return m.apply(v, img, b["overlap"], b["scene"], b["ious"],
                        K, method=SceneTextModel.beam_decode)
 
-    t = slope_ms(roundrobin(lambda b, f=beam: f(variables, b)[0],
-                            stacked, nB), K1, K2)
+    t = slope_ms(roundrobin(lambda b, v, f=beam: f(v, b)[0],
+                            stacked, nB, consts=(variables,)), K1, K2)
     toks[early] = np.asarray(jax.jit(beam)(variables, batch)[0])
     print(f"beam k={K} early_stop={early}: {t:6.2f} ms/batch = "
           f"{B / t * 1e3:6.0f} crops/s (slope, varied batches)", flush=True)

@@ -82,22 +82,25 @@ def fused_decode_flops(b, t=25, layers=6, e=256, mem_t=26, ff=2048, c=97):
 
 
 def stage(name, body_fn, x0, flops_fn=None, flops_args=None, peak="bf16",
-          extra_flops=0.0):
-    """body_fn: x -> (out, x_next); timed chained, FLOPs from single call."""
+          extra_flops=0.0, consts=()):
+    """body_fn: (x, *consts) -> (out, x_next); timed chained, FLOPs from a
+    single call.  ``consts`` (params/qsites) ride as jit ARGUMENTS — a
+    closure capture would embed them as HLO literal constants (~300 MB),
+    which the axon remote-compile endpoint rejects with HTTP 413."""
     if ONLY and ONLY not in name:
         return
 
     def make_loop(k):
         @jax.jit
-        def loop():
+        def loop(x0, consts):
             def body(i, x):
-                _, x_next = body_fn(x)
+                _, x_next = body_fn(x, *consts)
                 return x_next
 
             return jnp.sum(jax.lax.fori_loop(0, k, body, x0)
                            .astype(jnp.float32))
 
-        return loop
+        return lambda: loop(x0, consts)
 
     ms = chained_time_ms(make_loop)
     fl = flops_of(flops_fn, *flops_args) if flops_fn is not None else 0.0
@@ -124,15 +127,15 @@ def main():
         img, text[:, :-1], overlap, scene, ious, train=True)
 
     # ---- TPS rectify (bf16 convs inside) --------------------------------
-    def tps_body(x):
-        out = model.apply(variables, x, method=type(model).rectify)
+    def tps_body(x, v):
+        out = model.apply(v, x, method=type(model).rectify)
         # output is a sampled image in [0,1] with the input's shape: feed it
         # straight back (keeps the loc-net input distribution realistic)
         return out, out
 
     tps_flops = jax.jit(
         lambda v, x: model.apply(v, x, method=type(model).rectify))
-    stage("TPS rectify", tps_body, img,
+    stage("TPS rectify", tps_body, img, consts=(variables,),
           flops_fn=tps_flops, flops_args=(variables, img))
 
     rectified = tps_flops(variables, img)
@@ -141,11 +144,11 @@ def main():
     def feats_fn(v, x):
         return model.apply(v, x, method=type(model).features)
 
-    def resnet_body(x):
-        out = feats_fn(variables, x)
+    def resnet_body(x, v):
+        out = feats_fn(v, x)
         return out, couple(x, out)
 
-    stage("ResNet-31 bf16", resnet_body, rectified,
+    stage("ResNet-31 bf16", resnet_body, rectified, consts=(variables,),
           flops_fn=jax.jit(feats_fn), flops_args=(variables, rectified))
 
     # ---- ResNet-31 backbone, int8 PTQ -----------------------------------
@@ -156,12 +159,13 @@ def main():
     qsites = quantize_resnet(variables, rectified,
                              output_channels=mcfg.hidden_dim)
 
-    def resnet8_body(x):
-        out = resnet31_int8_forward(qsites, x,
+    def resnet8_body(x, q):
+        out = resnet31_int8_forward(q, x,
                                     output_channels=mcfg.hidden_dim)
         return out, couple(x, out)
 
     stage("ResNet-31 int8", resnet8_body, rectified, peak="int8",
+          consts=(qsites,),
           flops_fn=jax.jit(lambda q, x: resnet31_int8_forward(
               q, x, output_channels=mcfg.hidden_dim)),
           flops_args=(qsites, rectified))
@@ -181,11 +185,11 @@ def main():
 
             return _m.apply(v, c, train=False, method=f)
 
-        def enc_body(x, _fn=enc_fn):
-            out = _fn(variables, x)
+        def enc_body(x, v, _fn=enc_fn):
+            out = _fn(v, x)
             return out, couple(x, out)
 
-        stage(f"encoder {variant}", enc_body, cols,
+        stage(f"encoder {variant}", enc_body, cols, consts=(variables,),
               peak="int8" if variant == "int8" else "bf16",
               flops_fn=jax.jit(enc_fn), flops_args=(variables, cols))
 
@@ -204,14 +208,15 @@ def main():
 
             return _m.apply(v, e, train=False, method=f)
 
-        def dec_body(x, _fn=dec_fn):
-            out = _fn(variables, x)
+        def dec_body(x, v, _fn=dec_fn):
+            out = _fn(v, x)
             return out, couple(x, out)
 
         # XLA's cost analysis cannot see inside the Pallas custom call, so
         # the kernel's matmul FLOPs are added analytically on top of what
         # XLA counts for the surrounding ops (hid_to_emb, log-softmax, ...).
         stage(f"fused decode 25-step {variant}", dec_body, enc_out,
+              consts=(variables,),
               peak="int8" if variant == "int8" else "bf16",
               flops_fn=jax.jit(dec_fn), flops_args=(variables, enc_out),
               extra_flops=fused_decode_flops(B))

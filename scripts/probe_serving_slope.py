@@ -72,8 +72,9 @@ def probe(name, mcfg):
     model = build_model(mcfg)
     step, qsites = make_int8_eval_step(model, variables, calib_batch=batch0)
 
-    ms = slope_ms(roundrobin(lambda b: step(variables, qsites, b),
-                             stacked, nB), K1, K2)
+    ms = slope_ms(roundrobin(lambda b, v, q: step(v, q, b),
+                             stacked, nB, consts=(variables, qsites)),
+                  K1, K2)
     print(f"{name}: {ms:.2f} ms/batch = {B / ms * 1e3:.0f} crops/s",
           flush=True)
 
