@@ -47,7 +47,7 @@ class Recognizer:
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.int8_backbone = int8_backbone
         self.int8_scales_path = int8_scales_path
-        self._int8_step = None
+        self._int8_steps = {}  # {None: greedy, k: beam-k} int8 decode steps
         self._qsites = None
         self._int8_absmax = None
         self._drift_checked = False
@@ -135,10 +135,41 @@ class Recognizer:
             check_scale_drift(self._int8_absmax, observed)
         self._drift_checked = True
         self._int8_absmax = observed
-        self._int8_step = None  # rebuild with the new scales
+        self._int8_steps = {}  # rebuild with the new scales
         self._qsites = None
         if self.int8_scales_path is not None:
             save_activation_scales(self.int8_scales_path, observed)
+
+    def _ensure_int8(self, chunk, beam_size=None):
+        """Build (once) and return the int8-spliced decode step — greedy, or
+        beam when ``beam_size`` is set (beam rides the same PTQ backbone via
+        model.beam_from_columns).  Calibrates lazily on this call's REAL
+        crops if no scales were persisted/loaded, and runs the one-time
+        drift check against the first traffic seen."""
+        from ..models.resnet_int8 import make_int8_eval_step
+
+        key = int(beam_size) if beam_size else None
+        if self._int8_absmax is None:
+            # lazy fallback: calibrate on this call's REAL crops
+            # (tiled to fill the bucket — never on pad rows)
+            self.calibrate_int8(chunk)
+        if key not in self._int8_steps:
+            step, qsites = make_int8_eval_step(
+                self.model, self.variables,
+                x_absmax=self._int8_absmax, beam_size=key,
+            )
+            self._int8_steps[key] = step
+            self._qsites = qsites
+        if not self._drift_checked:
+            # persisted/loaded scales: validate once against the ranges
+            # this process actually sees (warn-only —
+            # models/resnet_int8.check_scale_drift)
+            from ..models.resnet_int8 import check_scale_drift
+
+            check_scale_drift(self._int8_absmax,
+                              self._observe_absmax(chunk))
+            self._drift_checked = True
+        return self._int8_steps[key]
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_sizes:
@@ -220,33 +251,18 @@ class Recognizer:
                         arr[: len(chunk)] = semantics[k][i : i + len(chunk)]
                         batch[k] = jnp.asarray(arr)
             if beam_size and self.cfg.model.decoder == "transformer":
-                ids, scores = self._beam(
-                    self.variables, batch["image"], batch["overlap"],
-                    batch["scene"], batch["ious"], int(beam_size),
-                )
+                if self.int8_backbone:
+                    step = self._ensure_int8(chunk, beam_size=int(beam_size))
+                    ids, scores = step(self.variables, self._qsites, batch)
+                else:
+                    ids, scores = self._beam(
+                        self.variables, batch["image"], batch["overlap"],
+                        batch["scene"], batch["ious"], int(beam_size),
+                    )
                 out_scores.extend(np.asarray(scores)[: len(chunk)].tolist())
             elif self.int8_backbone:
-                if self._int8_step is None:
-                    if self._int8_absmax is None:
-                        # lazy fallback: calibrate on this call's REAL crops
-                        # (tiled to fill the bucket — never on pad rows)
-                        self.calibrate_int8(chunk)
-                    from ..models.resnet_int8 import make_int8_eval_step
-
-                    self._int8_step, self._qsites = make_int8_eval_step(
-                        self.model, self.variables,
-                        x_absmax=self._int8_absmax,
-                    )
-                if not self._drift_checked:
-                    # persisted/loaded scales: validate once against the
-                    # ranges this process actually sees (warn-only —
-                    # models/resnet_int8.check_scale_drift)
-                    from ..models.resnet_int8 import check_scale_drift
-
-                    check_scale_drift(self._int8_absmax,
-                                      self._observe_absmax(chunk))
-                    self._drift_checked = True
-                ids = self._int8_step(self.variables, self._qsites, batch)
+                ids = self._ensure_int8(chunk)(
+                    self.variables, self._qsites, batch)
                 out_scores.extend([0.0] * len(chunk))
             else:
                 ids = self._greedy(

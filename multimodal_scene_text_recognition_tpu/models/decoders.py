@@ -42,6 +42,7 @@ from flax import linen as nn
 from ..ops.attention import (
     MHAWeights,
     attend,
+    attend_ancestry,
     causal_mask,
     multihead_attention,
     qkv_projections,
@@ -390,13 +391,19 @@ class TransformerDecoder(nn.Module):
                     caches[f"{site}_v"] = jnp.zeros((self.num_layers, Bp, T, E), dt)
             return caches
 
-        def cached_attend(x, kv_src, mha_w, cache_key, i, t, caches):
+        def cached_attend(x, kv_src, mha_w, cache_key, i, t, caches,
+                          anc_oh=None):
             """Causal attention of x [B',1,E] over cached projections of
             kv_src, writing position t into the named cache.
 
             One dynamic_update_slice into the stacked [L,B',T,E] cache (no
             slice-out/set-back round trip) so XLA keeps the update in place
             across scan iterations.
+
+            ``anc_oh`` [B, K, T, K] switches to beam-ancestry attention
+            over unreordered caches (ops/attention.attend_ancestry) —
+            B' = B*K rows and slot j of each row group holds what the
+            beam occupying row j wrote.
             """
             q, k_t, v_t = qkv_projections(x, kv_src, mha_w)
             k_all = jax.lax.dynamic_update_slice(
@@ -410,24 +417,29 @@ class TransformerDecoder(nn.Module):
             )
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
             mask = jnp.where(pos <= t, 0.0, -jnp.inf)
-            a = attend(q, k_all[i], v_all[i], self.num_heads, mask)
+            if anc_oh is None:
+                a = attend(q, k_all[i], v_all[i], self.num_heads, mask)
+            else:
+                a = attend_ancestry(q, k_all[i], v_all[i], self.num_heads,
+                                    anc_oh, mask)
             return a @ mha_w.w_out + mha_w.b_out, caches
 
-        def step_layer(i, x, t, caches):
+        def step_layer(i, x, t, caches, anc_oh=None):
             """One decoder layer for the single position t. x: [B', 1, E]."""
             w = layer_ws[i]
 
             def fusion_site(x, fw, site, caches):
                 rel = _relevance(x, sem, fw.mlp)  # [B', 1, E]
                 a, caches = cached_attend(
-                    x, rel, fw.mha, f"{site}_", i, t, caches
+                    x, rel, fw.mha, f"{site}_", i, t, caches, anc_oh
                 )
                 return x + a, caches
 
             if w.pre_target is not None:
                 x, caches = fusion_site(x, w.pre_target, "pre_target", caches)
 
-            a, caches = cached_attend(x, x, w.self_attn, "", i, t, caches)
+            a, caches = cached_attend(x, x, w.self_attn, "", i, t, caches,
+                                      anc_oh)
             x = layer_norm_apply(x + a, w.norm1)
 
             if w.pre_memory is not None:
@@ -446,10 +458,10 @@ class TransformerDecoder(nn.Module):
             x = layer_norm_apply(x + f, w.norm3)
             return x, caches
 
-        def step_all(x, t, caches):
+        def step_all(x, t, caches, anc_oh=None):
             x = x.astype(dt)
             for i in range(self.num_layers):
-                x, caches = step_layer(i, x, t, caches)
+                x, caches = step_layer(i, x, t, caches, anc_oh)
             x = layer_norm_apply(x, final_norm_w)
             logits_t = linear_apply(x, emb_to_classes_w)[:, 0]  # [B', C]
             return logits_t.astype(jnp.float32), caches
@@ -569,17 +581,26 @@ class TransformerDecoder(nn.Module):
         return logits
 
     def beam_decode(self, enc_out, semantics=None, beam_size: int = 5,
-                    length_penalty: float = 0.0):
+                    length_penalty: float = 0.0,
+                    reorder_caches: bool = False):
         """Batched beam search -> (tokens [B, T], log-prob scores [B]).
 
         Capability beyond the reference (greedy only); BASELINE.json lists
         batched beam (k=5) as a benchmark config.  Single ``lax.scan``:
         every beam hypothesis shares the KV-cache machinery via a flattened
-        [B*K] batch; caches are gathered by beam origin each step.  Finished
-        beams ([s] emitted) are frozen by forcing a zero-cost [s]
-        continuation.  ``post_decoder_mlp`` logit fusion is a sequence-level
-        transform incompatible with per-step beam scoring — raises rather
-        than silently decoding without it.
+        [B*K] batch.  Finished beams ([s] emitted) are frozen by forcing a
+        zero-cost [s] continuation.  ``post_decoder_mlp`` logit fusion is a
+        sequence-level transform incompatible with per-step beam scoring —
+        raises rather than silently decoding without it.
+
+        Beam bookkeeping: by default the KV caches are NEVER physically
+        reordered — each step tracks an ancestry map (which cache slot
+        holds each beam's position-t entry) and attention selects through
+        it (ops/attention.attend_ancestry).  Physically gathering the
+        [L, B*K, T, E] caches by beam origin each step was 84 of 105 ms
+        of the fixed-length decode at B=192, K=5 (scripts/
+        probe_beam_cost.py).  ``reorder_caches=True`` keeps the gather
+        form as a parity/debug reference; both produce identical tokens.
         """
         from ..core.charset import EOS_ID
 
@@ -627,13 +648,21 @@ class TransformerDecoder(nn.Module):
             raise ValueError(f"unexpected leaf shape {x.shape}")
 
         def body(carry, t):
-            prev_tok, scores, finished, seqs, caches = carry
+            prev_tok, scores, finished, seqs, anc, caches = carry
             # prev_tok [B, K] -> x [B*K, 1, E]
             x = jnp.take(emb_table, prev_tok.reshape(-1), axis=0)[:, None, :]
             if cls0 is not None:
                 x = jnp.where(t == 0, cls0[:, None, :], x)
             x = x + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None, 0:1]
-            logits_t, caches = step_all(x, t, caches)          # [B*K, C]
+            if reorder_caches:
+                logits_t, caches = step_all(x, t, caches)      # [B*K, C]
+            else:
+                # position t's k/v is computed by (and written to the slot
+                # of) the beam currently occupying row k
+                anc = anc.at[:, :, t].set(
+                    jnp.arange(K, dtype=jnp.int32)[None, :])
+                anc_oh = jax.nn.one_hot(anc, K)                # [B, K, T, K]
+                logits_t, caches = step_all(x, t, caches, anc_oh)
             logp = jax.nn.log_softmax(logits_t).reshape(B, K, C)
 
             # frozen beams: only [s] continues, at zero cost
@@ -646,14 +675,20 @@ class TransformerDecoder(nn.Module):
             beam_idx = flat_idx // C
             token = (flat_idx % C).astype(jnp.int32)
 
-            caches = {k: gather_beams(v, beam_idx) for k, v in caches.items()}
+            if reorder_caches:
+                caches = {k: gather_beams(v, beam_idx)
+                          for k, v in caches.items()}
             gather2 = lambda a: jnp.take_along_axis(a, beam_idx, axis=1)
+            if not reorder_caches:
+                # descendants inherit the parent's ancestry row; the caches
+                # themselves never move
+                anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
             finished = gather2(finished) | (token == EOS_ID)
             seqs = jnp.take_along_axis(
                 seqs, beam_idx[:, :, None], axis=1
             )
             seqs = seqs.at[:, :, t].set(token)
-            return (token, new_scores, finished, seqs, caches), None
+            return (token, new_scores, finished, seqs, anc, caches), None
 
         init = (
             jnp.full((B, K), GO_ID, jnp.int32),
@@ -661,6 +696,7 @@ class TransformerDecoder(nn.Module):
             jnp.tile(jnp.asarray([0.0] + [float(-1e9)] * (K - 1)), (B, 1)),
             jnp.zeros((B, K), bool),
             jnp.zeros((B, K, T), jnp.int32),
+            jnp.zeros((B, K, T), jnp.int32),   # ancestry: cache slot per pos
             make_caches(),
         )
         if self.early_stop:
@@ -668,7 +704,7 @@ class TransformerDecoder(nn.Module):
             # beams continue with a zero-cost [s], so scores/sequences are
             # identical to the full scan (~3x fewer steps on trained models)
             def wcond(carry):
-                t, tok, scores, finished, seqs, caches = carry
+                t, _tok, _scores, finished = carry[:4]
                 return (t < T) & ~jnp.all(finished)
 
             def wbody(carry):
@@ -676,11 +712,11 @@ class TransformerDecoder(nn.Module):
                 new, _ = body(tuple(rest), t)
                 return (t + 1, *new)
 
-            _, tok, scores, finished, seqs, _ = jax.lax.while_loop(
+            _, tok, scores, finished, seqs, _, _ = jax.lax.while_loop(
                 wcond, wbody, (jnp.int32(0), *init)
             )
         else:
-            (tok, scores, finished, seqs, _), _ = jax.lax.scan(
+            (tok, scores, finished, seqs, _, _), _ = jax.lax.scan(
                 body, init, jnp.arange(T, dtype=jnp.int32)
             )
 

@@ -171,6 +171,27 @@ class SceneTextModel(nn.Module):
         encoded = self.encoder(cols, semantics=semantics, train=False)
         return self.decoder(encoded, None, semantics=semantics, train=False)
 
+    def beam_from_columns(
+        self,
+        cols: jnp.ndarray,
+        overlap: jnp.ndarray,
+        scene: jnp.ndarray,
+        ious: jnp.ndarray,
+        beam_size: int = 5,
+        length_penalty: float = 0.0,
+    ):
+        """Beam search from precomputed column features [B, W', H] — the
+        :meth:`decode_from_columns` counterpart for spliced backbones
+        (int8 PTQ serving, models/resnet_int8.py)."""
+        if self.cfg.decoder != "transformer":
+            raise NotImplementedError("beam decode requires the TF decoder")
+        semantics = self.semantic(overlap, scene, ious)
+        encoded = self.encoder(cols, semantics=semantics, train=False)
+        return self.decoder.beam_decode(
+            encoded, semantics, beam_size=beam_size,
+            length_penalty=length_penalty,
+        )
+
     def beam_decode(
         self,
         image: jnp.ndarray,

@@ -437,14 +437,17 @@ def resnet31_int8_forward(
                     act_dtype=act_dtype)
 
 
-def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
+def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None,
+                        beam_size=None):
     """Build a jitted greedy-decode step whose backbone runs int8.
 
     Activation scales come from ``x_absmax`` (persisted calibration, see
     :func:`calibrate_resnet`; TPS loc-net sites carry a ``tps/`` key
     prefix) or are calibrated on ``calib_batch`` (a device batch dict with
     normalized or uint8 images).  Returns ``(eval_step, qsites)`` where
-    ``eval_step(variables, qsites, batch) -> predicted ids [B, T]``.
+    ``eval_step(variables, qsites, batch) -> predicted ids [B, T]`` —
+    or, when ``beam_size`` is set, ``-> (ids [B, T], scores [B])`` via
+    batched beam search over the same int8-spliced pipeline.
     Splices: TPS (int8 loc-net when ``model.cfg.tps_int8``, else bf16) ->
     int8 ResNet -> columns -> encoder/decoder (the model's own modules) —
     everything else identical to the float path.
@@ -498,6 +501,12 @@ def make_int8_eval_step(model, variables, calib_batch=None, x_absmax=None):
             {k: v for k, v in qsites.items() if not k.startswith("tps/")},
             x, output_channels=cfg.hidden_dim)
         cols = to_column_sequence(feats).astype(jnp.float32)
+        if beam_size is not None:
+            return model.apply(
+                variables, cols, batch["overlap"], batch["scene"],
+                batch["ious"], beam_size,
+                method=type(model).beam_from_columns,
+            )
         logits = model.apply(
             variables, cols, batch["overlap"], batch["scene"], batch["ious"],
             method=type(model).decode_from_columns,

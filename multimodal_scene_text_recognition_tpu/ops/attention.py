@@ -94,6 +94,59 @@ def attend(
     return _merge_heads(out)
 
 
+def attend_ancestry(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    anc_onehot: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Beam-search attention over UNREORDERED per-beam KV caches.
+
+    Physically reordering the [L, B*K, T, E] caches by beam origin every
+    step is the dominant cost of a batched beam decode on TPU (measured
+    84 of 105 ms at B=192, K=5: scripts/probe_beam_cost.py).  Instead the
+    caches stay in write order — slot j permanently holds what the beam
+    occupying row j wrote at each step — and each query attends to ALL K
+    slots, then selects its own history with an ancestry one-hot.  The
+    extra score/value work is K× a part of attention that is ~0.3% of the
+    step's FLOPs; the reorder's ~300 MB/step of HBM traffic disappears.
+
+    Args:
+      q: [B*K, 1, E] current-step queries, in current beam order.
+      k, v: [B*K, T, E] caches in write order (never reordered).
+      anc_onehot: [B, K, T, K_src] float; [b, k, t, j] = 1 iff current
+        beam k's position-t entry lives in cache slot j.
+      mask: additive mask broadcastable to [B, K, H, T] over the last
+        (position) axis — 0 = attend, -inf = blocked.
+
+    Returns [B*K, 1, E], bit-comparable to ``attend`` over physically
+    reordered caches (selection sums exactly one product per position).
+    """
+    BK, T, E = k.shape
+    B, K = anc_onehot.shape[0], anc_onehot.shape[1]
+    H = num_heads
+    D = E // H
+    qh = q.reshape(B, K, H, D)
+    kh = k.reshape(B, K, T, H, D)
+    vh = v.reshape(B, K, T, H, D)
+    # scores against every slot's cache, then ancestry-select per position
+    s_all = jnp.einsum("bkhd,bjthd->bkhjt", qh, kh,
+                       preferred_element_type=jnp.float32)
+    s_all = s_all / jnp.sqrt(jnp.float32(D))
+    sel = anc_onehot.astype(jnp.float32)
+    s = jnp.einsum("bkhjt,bktj->bkht", s_all, sel)
+    s = s + mask
+    probs = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    # out = sum_t w[t] * v[anc(t), t]: route each position's weight to its
+    # ancestor slot, one fused contraction over (t, j)
+    out = jnp.einsum("bkht,bktj,bjthd->bkhd", probs,
+                     sel.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(BK, 1, E)
+
+
 def multihead_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,

@@ -114,6 +114,40 @@ def test_beam5_no_worse_than_greedy():
     assert (b_check >= g_scores - 1e-5).all()
 
 
+def test_beam_ancestry_matches_reorder():
+    """The default ancestry bookkeeping (unreordered caches + attention
+    through an ancestry one-hot — ops/attention.attend_ancestry) produces
+    identical tokens and scores to the physically-reordered-cache form,
+    across beam widths and fusion-site configs (fusion sites add extra
+    cached-attention sites that must see the same ancestry)."""
+    for kwargs in ({}, {"multihead_pre_target": True,
+                        "multihead_post_memory": True}):
+        B, H, E, T = 3, 64, 32, 8
+        dec = TransformerDecoder(
+            num_classes=13, d_model=E, memory_dim=H, num_heads=4, ff_dim=64,
+            num_layers=2, dropout=0.0, max_text_length=T, **kwargs,
+        )
+        enc_out = jnp.asarray(
+            RNG.standard_normal((B, 10, H)).astype(np.float32))
+        sem = jnp.asarray(RNG.standard_normal((B, 5, E)).astype(np.float32))
+        rng = jax.random.PRNGKey(1)
+        variables = dec.init(
+            {"params": rng, "dropout": rng},
+            enc_out, jnp.zeros((B, T + 1), jnp.int32), sem, train=True,
+        )
+        for k in (1, 4):
+            tok_a, sc_a = dec.apply(
+                variables, enc_out, sem, k,
+                method=TransformerDecoder.beam_decode)
+            tok_b, sc_b = dec.apply(
+                variables, enc_out, sem, k, reorder_caches=True,
+                method=TransformerDecoder.beam_decode)
+            np.testing.assert_array_equal(np.asarray(tok_a),
+                                          np.asarray(tok_b))
+            np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                                       atol=1e-5)
+
+
 def test_model_level_beam():
     cfg = ModelConfig(
         enc_layers=1, dec_layers=1, ff_dim=64, hidden_dim=64, embed_dim=32,

@@ -69,6 +69,16 @@ def test_recognizer_int8_backbone():
     assert len(tf) == len(tq) == B
     assert all(isinstance(t, str) for t in tq)
 
+    # beam through the int8 backbone (model.beam_from_columns splice):
+    # same strings as the float beam at these tiny shapes, scores finite
+    bf, sf = rec_f.recognize(crops, beam_size=3, return_scores=True)
+    bq, sq = rec_q.recognize(crops, beam_size=3, return_scores=True)
+    assert len(bq) == B and len(sq) == B
+    assert bq == bf
+    assert all(np.isfinite(s) for s in sq)
+    # greedy and beam int8 steps are cached separately
+    assert set(rec_q._int8_steps) == {None, 3}
+
 
 def test_recognizer_persisted_scales(tmp_path):
     """Persisted-calibration serving: scales saved next to a checkpoint are
