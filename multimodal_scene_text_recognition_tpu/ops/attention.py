@@ -94,6 +94,50 @@ def attend(
     return _merge_heads(out)
 
 
+def attend_ancestry_flat(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    anc_onehot: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flat-mask variant of :func:`attend_ancestry` (same signature and
+    result) — a measured NEGATIVE result, kept as the cross-check for the
+    parity test and the A/B probe.
+
+    Formulation: plain MHA einsums over the flattened (slot j, position t)
+    axis of length K*T, with non-ancestor pairs masked to -inf before the
+    softmax (exp(-inf) = 0 exactly, so this equals select-then-softmax
+    mathematically).  The hypothesis was that standard attention shapes
+    would lower better than 5-axis select contractions; on the chip the
+    opposite holds — K× longer softmax rows and K× the value-sum FLOPs
+    cost more than the select form's extra contractions (trained model,
+    B=192, K=5, scripts/probe_anc_forms.py: 101.2 vs 77.7 ms/batch fixed
+    length, 55.7 vs 44.9 early-stop — select wins by ~1.25x).
+    """
+    BK, T, E = k.shape
+    B, K = anc_onehot.shape[0], anc_onehot.shape[1]
+    H = num_heads
+    D = E // H
+    qh = q.reshape(B, K, H, D)
+    kh = k.reshape(B, K * T, H, D)   # m = j*T + t
+    vh = v.reshape(B, K * T, H, D)
+    s = jnp.einsum("bkhd,bmhd->bkhm", qh, kh,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.float32(D))
+    # allowed iff this beam's ancestry maps position t to slot j, AND the
+    # causal mask admits position t ([b,k,t,j] -> [b,k,1,j*T+t])
+    allow = jnp.swapaxes(anc_onehot, 2, 3).reshape(B, K, 1, K * T)
+    causal = jnp.tile(jnp.broadcast_to(mask, mask.shape[:-1] + (T,)),
+                      (1,) * (mask.ndim - 1) + (K,))
+    s = jnp.where(allow > 0, s, -jnp.inf) + causal
+    probs = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bkhm,bmhd->bkhd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(BK, 1, E)
+
+
 def attend_ancestry(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -108,10 +152,15 @@ def attend_ancestry(
     step is the dominant cost of a batched beam decode on TPU (measured
     84 of 105 ms at B=192, K=5: scripts/probe_beam_cost.py).  Instead the
     caches stay in write order — slot j permanently holds what the beam
-    occupying row j wrote at each step — and each query attends to ALL K
-    slots, then selects its own history with an ancestry one-hot.  The
-    extra score/value work is K× a part of attention that is ~0.3% of the
-    step's FLOPs; the reorder's ~300 MB/step of HBM traffic disappears.
+    occupying row j wrote at each step — and each query scores ALL K
+    slots, contracts the slot axis with its ancestry one-hot *before*
+    the softmax, then routes each position's probability back to its
+    ancestor slot for the value sum.  The extra score/value work is K× a
+    part of attention that is ~0.3% of the step's FLOPs; the reorder's
+    ~300 MB/step of HBM traffic disappears.  (The alternative "flat"
+    formulation — standard MHA over the flattened K*T axis with an
+    additive ancestry mask — measured ~1.25x SLOWER; see
+    :func:`attend_ancestry_flat`.)
 
     Args:
       q: [B*K, 1, E] current-step queries, in current beam order.
@@ -131,7 +180,6 @@ def attend_ancestry(
     qh = q.reshape(B, K, H, D)
     kh = k.reshape(B, K, T, H, D)
     vh = v.reshape(B, K, T, H, D)
-    # scores against every slot's cache, then ancestry-select per position
     s_all = jnp.einsum("bkhd,bjthd->bkhjt", qh, kh,
                        preferred_element_type=jnp.float32)
     s_all = s_all / jnp.sqrt(jnp.float32(D))
@@ -139,8 +187,6 @@ def attend_ancestry(
     s = jnp.einsum("bkhjt,bktj->bkht", s_all, sel)
     s = s + mask
     probs = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
-    # out = sum_t w[t] * v[anc(t), t]: route each position's weight to its
-    # ancestor slot, one fused contraction over (t, j)
     out = jnp.einsum("bkht,bktj,bjthd->bkhd", probs,
                      sel.astype(vh.dtype), vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -148,6 +148,31 @@ def test_beam_ancestry_matches_reorder():
                                        atol=1e-5)
 
 
+def test_ancestry_flat_matches_select():
+    """The two attend_ancestry formulations (flat masked MHA over the J*T
+    axis vs select-then-softmax contractions) agree numerically: exp(-inf)
+    is exactly 0, so masking non-ancestor (slot, position) pairs before
+    the softmax equals contracting them away first."""
+    from multimodal_scene_text_recognition_tpu.ops.attention import (
+        attend_ancestry,
+        attend_ancestry_flat,
+    )
+
+    B, K, T, E, H = 2, 3, 6, 16, 4
+    t_cur = 4  # positions 0..4 visible
+    q = jnp.asarray(RNG.standard_normal((B * K, 1, E)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B * K, T, E)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((B * K, T, E)).astype(np.float32))
+    anc = jnp.asarray(RNG.integers(0, K, (B, K, T)).astype(np.int32))
+    anc_oh = jax.nn.one_hot(anc, K)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+    mask = jnp.where(pos <= t_cur, 0.0, -jnp.inf)
+    a = attend_ancestry(q, k, v, 4, anc_oh, mask)
+    b = attend_ancestry_flat(q, k, v, 4, anc_oh, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_model_level_beam():
     cfg = ModelConfig(
         enc_layers=1, dec_layers=1, ff_dim=64, hidden_dim=64, embed_dim=32,
