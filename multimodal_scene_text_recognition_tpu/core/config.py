@@ -94,6 +94,12 @@ class ModelConfig:
     # effect together with ``decode_fused``; PTQ, no retraining.
     decode_int8: bool = False
 
+    # run beam search as ONE fused Pallas kernel (VMEM-resident caches,
+    # in-kernel top-k/ancestry/early-stop — ops/fused_beam.py).  Opt-in
+    # separate from decode_fused: the beam kernel's Mosaic compile is
+    # ~15 min at flagship scale (once per process/shape).
+    decode_beam_fused: bool = False
+
     # int8-quantize the TF encoder's attention projections + FF matmuls at
     # inference (ops/int8.py, same PTQ recipe); training stays float.
     encoder_int8: bool = False

@@ -241,6 +241,11 @@ class TransformerDecoder(nn.Module):
     # ops/fused_decode.quantize_fused_weights).  Ignored unless ``fused``
     # is active for this config.
     int8: bool = False
+    # run beam_decode as ONE fused Pallas kernel (ops/fused_beam.py).
+    # Separate opt-in from ``fused``: the beam kernel's Mosaic compile is
+    # ~15 min at the flagship scale (one-time per process/shape), which
+    # callers must choose deliberately — see docs/RESULTS.md round 3.
+    beam_fused: bool = False
 
     def setup(self):
         E = self.d_model
@@ -620,6 +625,39 @@ class TransformerDecoder(nn.Module):
         T = self.max_text_length
         C = self.num_classes
 
+        fused_ok = self.beam_fused and not reorder_caches and not (
+            self.multihead_pre_target or self.multihead_pre_memory
+            or self.multihead_post_memory
+        )
+        if fused_ok:
+            # whole-beam Pallas kernel (ops/fused_beam.py): the full search
+            # loop in one program, VMEM-resident caches, in-kernel top-k +
+            # ancestry bookkeeping + per-chunk early stop
+            from ..ops.fused_beam import fused_beam_decode, stack_decoder_weights
+
+            layer_ws = [l.weights() for l in self.decoder_layers]
+            ck, cv = [], []
+            for w in layer_ws:
+                _, k, v = qkv_projections(memory, memory, w.cross_attn)
+                ck.append(k)
+                cv.append(v)
+            fw = stack_decoder_weights(
+                layer_ws, self.final_norm.weights(),
+                self.emb_to_classes.weights(), self.emb.embedding,
+                jnp.asarray(sinusoidal_table(T + 1, E))[:T],
+            )
+            fw = jax.tree.map(jax.lax.stop_gradient, fw)
+            cls0 = (self._sem_cls(memory, semantics)
+                    if self.cls_decoder_init else None)
+            tokens, scores = fused_beam_decode(
+                fw, jnp.stack(ck), jnp.stack(cv), cls0,
+                beam_size=K, num_heads=self.num_heads, steps=T,
+                dtype=jnp.dtype(self.dtype), go_id=GO_ID, eos_id=EOS_ID,
+                early_stop=self.early_stop,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return self._rank_beams(tokens, scores, length_penalty)
+
         def expand(x):
             return (
                 None if x is None
@@ -719,6 +757,14 @@ class TransformerDecoder(nn.Module):
             (tok, scores, finished, seqs, _, _), _ = jax.lax.scan(
                 body, init, jnp.arange(T, dtype=jnp.int32)
             )
+
+        return self._rank_beams(seqs, scores, length_penalty)
+
+    @staticmethod
+    def _rank_beams(seqs, scores, length_penalty: float):
+        """Pick the best of K finished beams per row: seqs [B, K, T] +
+        raw cumulative log-probs [B, K] -> (tokens [B, T], scores [B])."""
+        from ..core.charset import EOS_ID
 
         if length_penalty > 0.0:
             # GNMT-style normalisation by effective length

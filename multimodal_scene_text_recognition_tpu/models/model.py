@@ -115,6 +115,7 @@ class SceneTextModel(nn.Module):
                 early_stop=cfg.decode_early_stop,
                 fused=cfg.decode_fused,
                 int8=cfg.decode_int8,
+                beam_fused=cfg.decode_beam_fused,
                 name="decoder",
             )
         elif cfg.decoder == "linear":

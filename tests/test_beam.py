@@ -148,6 +148,37 @@ def test_beam_ancestry_matches_reorder():
                                        atol=1e-5)
 
 
+def test_fused_beam_matches_xla():
+    """The whole-beam Pallas kernel (ops/fused_beam.py, interpret mode on
+    CPU) produces identical tokens — and scores to f32 tolerance — as the
+    XLA ancestry beam, across beam widths and the configs the kernel
+    covers (plain, cls_decoder_init, early_stop)."""
+    B, H, E, T = 3, 64, 32, 10
+    for hooks in (dict(), dict(cls_decoder_init=True),
+                  dict(early_stop=True)):
+        common = dict(num_classes=13, d_model=E, memory_dim=H, num_heads=4,
+                      ff_dim=64, num_layers=2, dropout=0.0,
+                      max_text_length=T, **hooks)
+        dec = TransformerDecoder(**common)
+        dec_f = TransformerDecoder(**common, beam_fused=True)
+        enc_out = jnp.asarray(
+            RNG.standard_normal((B, 10, H)).astype(np.float32))
+        sem = jnp.asarray(RNG.standard_normal((B, 5, E)).astype(np.float32))
+        rng = jax.random.PRNGKey(0)
+        variables = dec.init(
+            {"params": rng, "dropout": rng},
+            enc_out, jnp.zeros((B, T + 1), jnp.int32), sem, train=True,
+        )
+        for k in (1, 4):
+            ta, sa = dec.apply(variables, enc_out, sem, k,
+                               method=TransformerDecoder.beam_decode)
+            tb, sb = dec_f.apply(variables, enc_out, sem, k,
+                                 method=TransformerDecoder.beam_decode)
+            np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+            np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                       atol=1e-5)
+
+
 def test_ancestry_flat_matches_select():
     """The two attend_ancestry formulations (flat masked MHA over the J*T
     axis vs select-then-softmax contractions) agree numerically: exp(-inf)
