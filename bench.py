@@ -354,6 +354,34 @@ def bench_trained(cfg: ModelConfig, iters=20):
     except Exception as e:
         log(f"beam bench failed: {e}")
 
+    # fused whole-beam Pallas kernel (ops/fused_beam.py): 8.05k crops/s
+    # measured (docs/RESULTS.md round 3), but its Mosaic compile is ~13 min
+    # per enclosing program — 2 programs here would add ~25 min to the
+    # driver bench, so it's opt-in via BENCH_FUSED_BEAM=1 (the default
+    # beam5 number above is the XLA ancestry beam).
+    beam_fused = None
+    if os.environ.get("BENCH_FUSED_BEAM") == "1":
+        try:
+            bfmodel = build_model(dataclasses.replace(
+                cfg, decode_early_stop=True, decode_beam_fused=True))
+
+            def fbeam_ids(b, v):
+                img = b["image"]
+                if img.dtype == jnp.uint8:
+                    img = img.astype(jnp.float32) / 255.0
+                ids, _ = bfmodel.apply(v, img, b["overlap"], b["scene"],
+                                       b["ious"], 5,
+                                       method=SceneTextModel.beam_decode)
+                return ids
+
+            bms = slope_ms(roundrobin(fbeam_ids, stacked, nK,
+                                      consts=(variables,)), 2, 6)
+            beam_fused = B / bms * 1e3
+            log(f"fused beam k=5: {beam_fused:.1f} crops/s "
+                f"({bms:.2f} ms/batch)")
+        except Exception as e:
+            log(f"fused beam bench failed: {e}")
+
     return {
         "trained_decode_crops_per_sec": round(crops_per_sec, 1),
         "trained_batch_ms": round(dt * 1e3, 2),
@@ -361,6 +389,8 @@ def bench_trained(cfg: ModelConfig, iters=20):
         "trained_val_accuracy_int8": round(acc_int8, 2),
         "trained_val_accuracy_float": round(acc_float, 2),
         "beam5_crops_per_sec": round(beam, 1) if beam else None,
+        **({"beam5_fused_crops_per_sec": round(beam_fused, 1)}
+           if beam_fused else {}),
     }
 
 

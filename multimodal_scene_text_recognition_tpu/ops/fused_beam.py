@@ -28,6 +28,13 @@ per-slot slices are contiguous; time is the leading (non-tiled) axis of
 every cached tensor, as in fused_decode.py.  Numerics follow the XLA beam:
 matmuls in ``dtype`` with f32 accumulation, log-softmax/scores in f32.
 
+Measured (trained checkpoint, B=192, K=5, slope-timed over varied real
+batches): 23.84 ms/batch = 8,052 crops/s with early stop vs the XLA
+ancestry beam's 44.9 ms / 4,281 — with 1.0000 token agreement.  The
+Mosaic compile is ~13 min at this scale (once per process/shape), which
+is why ``model.decode_beam_fused`` is a separate opt-in from
+``decode_fused``.
+
 Capability beyond the reference (greedy-only eval,
 /root/reference/modules/decoders.py:226-263); BASELINE.json lists batched
 beam (k=5) as a benchmark config.

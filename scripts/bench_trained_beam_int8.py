@@ -59,8 +59,9 @@ stacked = device_batch({k: np.stack([b[k] for b in full])
 nB = len(full)
 batch = device_batch(full[0])
 
+FUSED = os.environ.get("FUSED", "0") == "1"
 mcfg = dataclasses.replace(cfg.model, decode_early_stop=True,
-                           encoder_int8=True)
+                           encoder_int8=True, decode_beam_fused=FUSED)
 model = build_model(mcfg)
 state = create_train_state(model, make_optimizer(cfg.train), batch,
                            jax.random.PRNGKey(0))
@@ -74,7 +75,8 @@ step, qsites = make_int8_eval_step(model, variables, x_absmax=scales,
 
 t = slope_ms(roundrobin(lambda b, v, q: step(v, q, b)[0],
                         stacked, nB, consts=(variables, qsites)), K1, K2)
-print(f"beam k={K} int8 backbone+encoder, early stop: {t:6.2f} ms/batch = "
+print(f"beam k={K} int8 backbone+encoder, early stop,"
+      f" fused={FUSED}: {t:6.2f} ms/batch = "
       f"{B / t * 1e3:6.0f} crops/s (slope, varied batches)", flush=True)
 
 ids, scores = jax.jit(step)(variables, qsites, batch)
