@@ -38,6 +38,41 @@ from multimodal_scene_text_recognition_tpu.train.steps import make_train_step
 B = 192
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BASELINE_LOCAL.json")
+# Persistent XLA/Mosaic compilation cache (results/xla_cache, gitignored).
+# Every program that takes >=1 s to compile is cached on disk, so repeat
+# bench runs skip recompiles entirely — most importantly the fused
+# whole-beam Pallas kernel, whose Mosaic compile is ~13 min at flagship
+# scale.  scripts/warm_fused_beam marker: once a warm run has paid that
+# compile under the SAME jaxlib/device, the fused-beam bench auto-enables
+# (cache hit makes it cheap); without the marker it stays opt-in via
+# BENCH_FUSED_BEAM=1.
+XLA_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "results", "xla_cache")
+FUSED_BEAM_MARKER = os.path.join(XLA_CACHE_DIR, "FUSED_BEAM_WARM.json")
+
+
+def enable_compilation_cache():
+    os.makedirs(XLA_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", XLA_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _fused_beam_env():
+    return {"jax": jax.__version__,
+            "device": jax.devices()[0].device_kind}
+
+
+def fused_beam_enabled() -> bool:
+    flag = os.environ.get("BENCH_FUSED_BEAM")
+    if flag == "1":
+        return True
+    if flag == "0":
+        return False
+    try:
+        with open(FUSED_BEAM_MARKER) as f:
+            return json.load(f) == _fused_beam_env()
+    except Exception:
+        return False
 
 
 def log(*a):
@@ -85,15 +120,34 @@ def bench_decode(model, variables, batch, iters=20, warmup=3):
     batch_size = batch["image"].shape[0]
     np.asarray(decode(*args))  # warm/compile
 
-    # Throughput: enqueue iters batches back-to-back, drain once with a
-    # host transfer.  (block_until_ready alone does not actually wait on
-    # this runtime — async dispatch makes per-call timing meaningless.)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = decode(*args)
-    np.asarray(out)
-    steady = (time.perf_counter() - t0) / iters
+    # Throughput: slope-timed over VARIED random batches — one jit program
+    # decodes K batches round-robin from a device-resident stack; marginal
+    # ms/batch is the slope between two trip counts (utils/timing.py).
+    # Per-dispatch host cost (pytree flatten + tunnel round trip, 10-30 ms)
+    # cancels exactly, and varied inputs defeat identical-enqueue dedup —
+    # the same methodology as the trained/pipelined and MFU benches.
+    from multimodal_scene_text_recognition_tpu.utils.timing import (
+        roundrobin,
+        slope_ms,
+    )
+
+    nK = 8
+    rng = np.random.default_rng(1)
+    stacked = jax.device_put({
+        "image": rng.random(
+            (nK,) + batch["image"].shape, dtype=np.float32),
+        "overlap": rng.integers(
+            0, 100, (nK,) + batch["overlap"].shape).astype(np.int32),
+        "scene": rng.integers(
+            0, 100, (nK,) + batch["scene"].shape).astype(np.int32),
+        "ious": np.broadcast_to(
+            np.asarray(batch["ious"]), (nK,) + batch["ious"].shape).copy(),
+    })
+    ms = slope_ms(roundrobin(
+        lambda b, v: decode(v, b["image"], b["overlap"], b["scene"],
+                            b["ious"]),
+        stacked, nK, consts=(variables,)), 6, 16)
+    steady = ms / 1e3
 
     # Latency: per-call, result materialised on host each time.
     lat = []
@@ -356,11 +410,13 @@ def bench_trained(cfg: ModelConfig, iters=20):
 
     # fused whole-beam Pallas kernel (ops/fused_beam.py): 8.05k crops/s
     # measured (docs/RESULTS.md round 3), but its Mosaic compile is ~13 min
-    # per enclosing program — 2 programs here would add ~25 min to the
-    # driver bench, so it's opt-in via BENCH_FUSED_BEAM=1 (the default
-    # beam5 number above is the XLA ancestry beam).
+    # per enclosing program — 2 programs here would add ~25 min to a cold
+    # driver bench.  It therefore runs only when the persistent compilation
+    # cache has been pre-warmed for this jaxlib/device (marker written
+    # below after a successful run; cache hit makes the compile free) or
+    # when forced with BENCH_FUSED_BEAM=1.
     beam_fused = None
-    if os.environ.get("BENCH_FUSED_BEAM") == "1":
+    if fused_beam_enabled():
         try:
             bfmodel = build_model(dataclasses.replace(
                 cfg, decode_early_stop=True, decode_beam_fused=True))
@@ -379,6 +435,10 @@ def bench_trained(cfg: ModelConfig, iters=20):
             beam_fused = B / bms * 1e3
             log(f"fused beam k=5: {beam_fused:.1f} crops/s "
                 f"({bms:.2f} ms/batch)")
+            # record that this jaxlib/device combination has the fused-beam
+            # programs in the persistent cache — future runs auto-enable
+            with open(FUSED_BEAM_MARKER, "w") as f:
+                json.dump(_fused_beam_env(), f)
         except Exception as e:
             log(f"fused beam bench failed: {e}")
 
@@ -539,6 +599,7 @@ def bench_serving(model, variables, cfg, batch_sizes=(1, 8, 32)):
 def main():
     serving = "--serving" in sys.argv
     mesh_mode = "--mesh" in sys.argv
+    enable_compilation_cache()
     # the fused whole-decode Pallas kernel (ops/fused_decode.py) is the
     # flagship decode path: ~+7% end-to-end over the XLA scan at B=192
     cfg = ModelConfig(decode_fused=True)
@@ -600,7 +661,8 @@ def main():
 
     print(json.dumps({
         "metric": "greedy-decode word crops/sec/chip @ B=192 "
-                  "(TPS+ResNet31+TF6+TF6, fused Pallas whole-decode kernel)",
+                  "(TPS+ResNet31+TF6+TF6, fused Pallas whole-decode kernel, "
+                  "slope-timed over varied batches)",
         "value": round(dec["crops_per_sec"], 1),
         "unit": "crops/sec",
         "vs_baseline": round(ratio, 2) if ratio else None,
