@@ -60,11 +60,34 @@ def _load_dataset(cfg: Config, split_sizes=None):
     if name == "cocotext":
         from .data.cocotext import get_cocotext_datasets
 
-        return get_cocotext_datasets(cfg)
+        try:
+            return get_cocotext_datasets(cfg)
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"cocotext dataset unavailable: {e}\n"
+                "The COCO-Text annotation JSONs and MS-COCO images are "
+                "stripped from this mirror (reference "
+                ".MISSING_LARGE_BLOBS:1-4).  To run the real-data parity "
+                "eval, mount them and point the config at the files:\n"
+                "  --set data.cocotext_api_path=/path/COCO_Text_2014.json \\\n"
+                "  --set data.cocotext_object_tags_path=/path/"
+                "coco_object_tags.json \\\n"
+                "  --set data.cocotext_image_path=/path/train2014/\n"
+                "then: cli validate --dataset cocotext --checkpoint ref.pth"
+            ) from e
     if name == "textocr":
         from .data.textocr import get_textocr_datasets
 
-        return get_textocr_datasets(cfg)
+        try:
+            return get_textocr_datasets(cfg)
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"textocr dataset unavailable: {e}\n"
+                "TextOCR annotations/images are stripped from this mirror; "
+                "mount them and set data.textocr_anno_path / "
+                "data.textocr_image_path / data.textocr_object_tags_path "
+                "(see core/config.py DataConfig)."
+            ) from e
     if name == "synth":
         from .data.lmdb_data import get_synth_datasets
 

@@ -168,7 +168,10 @@ class OscarEncoder(nn.Module):
     ff_dim: int = 3072
     num_layers: int = 12
     dropout: float = 0.1
-    max_positions: int = 128
+    # BertConfig().max_position_embeddings — kept at the BERT default so a
+    # reference Oscar checkpoint's position table imports without slicing
+    # (only the first seq_len rows are ever read; seq <= 26+52)
+    max_positions: int = 512
     fuse_semantics: bool = False
 
     @nn.compact
@@ -198,7 +201,9 @@ class OscarEncoder(nn.Module):
                                    name=f"attn{i}")(x, x, x)
             x = nn.LayerNorm(epsilon=1e-12, name=f"ln1_{i}")(x + a)
             h = nn.Dense(self.ff_dim, name=f"ff1_{i}")(x)
-            h = nn.gelu(h)
+            # exact (erf) gelu — BertModel's "gelu" activation, not the
+            # tanh approximation, so imported checkpoints match numerically
+            h = nn.gelu(h, approximate=False)
             h = nn.Dense(self.bert_dim, name=f"ff2_{i}")(h)
             x = nn.LayerNorm(epsilon=1e-12, name=f"ln2_{i}")(x + h)
 

@@ -20,26 +20,40 @@ import numpy as np
 
 
 def slope_ms(make_fn: Callable[[int], Callable], k1: int, k2: int,
-             reps: int = 3) -> float:
+             reps: int = 3, retries: int = 3) -> "float | None":
     """ms per loop iteration via the two-trip-count slope.
 
     ``make_fn(k)`` returns a zero-arg callable running the body k times and
     returning a device value (drained with np.asarray).  Each trip count is
     compiled+warmed once and timed best-of-``reps``.
-    """
 
-    def run(k):
-        f = make_fn(k)
-        np.asarray(f())  # compile + warm
+    A measurement harness must never emit a rate <= 0 (round-3 postmortem:
+    tunnel variance at small trip counts produced a negative beam
+    throughput that was published as real).  When the timings come out
+    non-monotone (t2 <= t1), the same two compiled programs are re-timed
+    with doubled reps up to ``retries`` times — no recompile, so the retry
+    is cheap — and if the ordering still doesn't hold, the function returns
+    ``None`` so the caller reports a null with a reason instead of garbage.
+    """
+    f1, f2 = make_fn(k1), make_fn(k2)
+    np.asarray(f1())  # compile + warm
+    np.asarray(f2())
+
+    def time_best(f, r):
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(r):
             t0 = time.perf_counter()
             np.asarray(f())
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1, t2 = run(k1), run(k2)
-    return (t2 - t1) / (k2 - k1) * 1e3
+    r = reps
+    for _ in range(retries + 1):
+        t1, t2 = time_best(f1, r), time_best(f2, r)
+        if t2 > t1:
+            return (t2 - t1) / (k2 - k1) * 1e3
+        r *= 2
+    return None
 
 
 def roundrobin(step_out: Callable, stacked, n_batches: int, consts=(),

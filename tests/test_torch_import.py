@@ -48,6 +48,17 @@ def fabricate_state_dict(variables, prefix="module."):
                 continue
             tkey, transform = km
             arr = np.asarray(value)
+            if isinstance(tkey, tuple):
+                # multi-source packing (Oscar BERT q/k/v): our [E, 3E]
+                # kernel / [3E] bias -> 3 torch [E, E] / [E] tensors
+                n = len(tkey)
+                for k in tkey:
+                    shape = ((arr.shape[1] // n, arr.shape[0])
+                             if transform.__name__ == "_t_qkv_w"
+                             else (arr.shape[0] // n,))
+                    sd[prefix + k] = rng.standard_normal(shape).astype(
+                        np.float32)
+                continue
             # invert the transform to get the torch-side shape
             if transform.__name__ == "_t_linear":
                 shape = arr.shape[::-1]
@@ -154,6 +165,7 @@ def test_lstm_paths_covered():
         ),
         dict(semantic_vector="scene"),
         dict(semantic_vector="combined"),
+        dict(encoder="oscar"),
     ],
 )
 def test_zero_unmapped_params_per_combo(kw):
