@@ -74,7 +74,11 @@ XLA_CACHE_DIR = os.path.join(REPO, "results", "xla_cache")
 FUSED_BEAM_MARKER = os.path.join(XLA_CACHE_DIR, "FUSED_BEAM_WARM.json")
 
 T0 = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+# 25 min: a warm-cache run needs ~14-19 min (stage timings ride in the
+# JSON); backend-init variance alone spans 1-6 min.  Even if a driver-side
+# timeout is tighter, the incremental emission below means every completed
+# stage is already on stdout.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 RESULT = {
     "metric": "greedy-decode word crops/sec/chip @ B=192 "
@@ -296,6 +300,9 @@ def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
     percall = np.asarray(percall)
     out["p50_latency_ms"] = float(np.median(percall)) * 1e3
     out["p90_latency_ms"] = float(np.percentile(percall, 90)) * 1e3
+    # flagged below against the slope too: the tunnel can degrade between
+    # the startup probe and this stage (r03's failure session reached ~7 s
+    # per dispatch mid-run)
     out["latency_host_bound"] = dispatch_ms > 100.0
 
     if use_slope:
@@ -308,6 +315,8 @@ def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
         if ms is not None:
             out["crops_per_sec"] = batch_size / (ms / 1e3)
             out["throughput_methodology"] = "slope"
+            if out["p50_latency_ms"] - ms > 100.0:
+                out["latency_host_bound"] = True
         else:
             # slope irrecoverably non-monotone: fall back to per-call mean,
             # clearly labelled (never publish garbage, never publish <= 0)
@@ -321,14 +330,16 @@ def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
     return out
 
 
-def bench_train(model, batch, rng_seed=0):
+def bench_train(model, batch, rng_seed=0, state=None):
     """Train-step throughput, slope-timed: one jit program runs k full
     train steps via lax.scan carrying the state, so per-dispatch cost
-    cancels in the slope just like the decode bench."""
+    cancels in the slope just like the decode bench.  ``state`` reuses an
+    already-built train state (skips a ~1 min init over the tunnel)."""
     tcfg = TrainConfig()
     tx = make_optimizer(tcfg)
     rng = jax.random.PRNGKey(rng_seed)
-    state = create_train_state(model, tx, batch, rng)
+    if state is None:
+        state = create_train_state(model, tx, batch, rng)
     raw_step = make_train_step(model, tx, donate=False, jit_compile=False)
     batch_size = batch["image"].shape[0]
 
@@ -472,7 +483,8 @@ def restore_trained(cfg: ModelConfig):
 
     return {"model": model, "variables": variables, "val": val,
             "codec": codec, "batch0": batch0, "stacked": stacked,
-            "nK": len(full), "step": step, "qsites": qsites}
+            "nK": len(full), "step": step, "qsites": qsites,
+            "state": state}
 
 
 def trained_pipelined(cfg: ModelConfig, tr) -> dict:
@@ -767,13 +779,25 @@ def main():
                if dispatch_ms > 100 else ""))
     dispatch_ms = dispatch_ms or 0.0
 
-    built = stage("build", lambda: _retry(lambda: build(cfg), label="build"),
-                  120)
-    if built is None:
-        log("flagship build failed — nothing more to measure")
-        emit()
-        return
-    model, variables, batch = built
+    # restore the trained checkpoint FIRST: its params serve every stage
+    # (the decode programs are shape-bound, so the headline number doesn't
+    # depend on the weights), which skips a separate ~3 min flagship init.
+    # Random-init fallback when no checkpoint is in the tree.
+    tr = stage("trained_restore",
+               lambda: _retry(lambda: restore_trained(cfg),
+                              label="restore"), 150)
+    if tr is not None:
+        model = build_model(cfg)
+        variables = tr["variables"]
+        batch = example_batch(cfg)
+    else:
+        built = stage("build",
+                      lambda: _retry(lambda: build(cfg), label="build"), 120)
+        if built is None:
+            log("flagship build failed — nothing more to measure")
+            emit()
+            return
+        model, variables, batch = built
 
     if mesh_mode:
         stage("mesh", lambda: bench_mesh(model, batch), 300)
@@ -793,24 +817,10 @@ def main():
 
     stage("decode", run_decode, 120)
 
-    def run_train():
-        t = _retry(lambda: bench_train(model, batch), label="train")
-        if t is None:
-            log("train: null (slope non-monotone)")
-            return None
-        extra["train_crops_per_sec"] = round(t["crops_per_sec"], 1)
-        extra["train_step_ms"] = round(t["step_ms"], 2)
-        log(f"train: {t['crops_per_sec']:.1f} crops/s, "
-            f"step {t['step_ms']:.2f} ms")
-        return t
-
-    stage("train", run_train, 150)
-
     # trained-model serving (fused + early-stop + int8 backbone, real
     # calibration) + beam — driver-captured evidence.  Perf numbers run
     # before the accuracy sweep: under a tight budget the throughput
     # evidence matters most.
-    tr = stage("trained_restore", lambda: restore_trained(cfg), 150)
     if tr is not None:
         def run_tserve():
             extra.update(trained_pipelined(cfg, tr))
@@ -838,6 +848,20 @@ def main():
             log(f"fused beam: not run (state={fb}; warm the cache with "
                 "BENCH_FUSED_BEAM=1 or fix the marker)")
             extra["beam5_fused_crops_per_sec"] = None
+
+    def run_train():
+        t = _retry(lambda: bench_train(
+            model, batch, state=tr["state"] if tr else None), label="train")
+        if t is None:
+            log("train: null (slope non-monotone)")
+            return None
+        extra["train_crops_per_sec"] = round(t["crops_per_sec"], 1)
+        extra["train_step_ms"] = round(t["step_ms"], 2)
+        log(f"train: {t['crops_per_sec']:.1f} crops/s, "
+            f"step {t['step_ms']:.2f} ms")
+        return t
+
+    stage("train", run_train, 150)
 
     # int8 PTQ backbone serving mode (models/resnet_int8.py): activation
     # scales calibrated on real rendered crops when available (the bench

@@ -20,20 +20,25 @@ import numpy as np
 
 
 def slope_ms(make_fn: Callable[[int], Callable], k1: int, k2: int,
-             reps: int = 3, retries: int = 3) -> "float | None":
-    """ms per loop iteration via the two-trip-count slope.
+             reps: int = 3, pairs: int = 5,
+             retries: int = 2) -> "float | None":
+    """ms per loop iteration via the two-trip-count slope, robustly.
 
     ``make_fn(k)`` returns a zero-arg callable running the body k times and
-    returning a device value (drained with np.asarray).  Each trip count is
-    compiled+warmed once and timed best-of-``reps``.
+    returning a device value (drained with np.asarray).
 
-    A measurement harness must never emit a rate <= 0 (round-3 postmortem:
-    tunnel variance at small trip counts produced a negative beam
-    throughput that was published as real).  When the timings come out
-    non-monotone (t2 <= t1), the same two compiled programs are re-timed
-    with doubled reps up to ``retries`` times — no recompile, so the retry
-    is cheap — and if the ordering still doesn't hold, the function returns
-    ``None`` so the caller reports a null with a reason instead of garbage.
+    A measurement harness must never emit a rate <= 0 or a burst artifact
+    (round-3 postmortem: tunnel variance at small trip counts produced a
+    negative published beam throughput; round-4 testing showed a shared
+    device can also produce slopes 10x high OR low when one of the two
+    timings lands in an interference burst).  So the estimate is the
+    MEDIAN of ``pairs`` interleaved (t1, t2) pair-slopes — adjacent pairs
+    cancel slow drift, the median rejects bursts — each timing best-of-
+    ``reps``.  If fewer than half the pairs come out monotone, the same
+    two compiled programs are re-timed with doubled reps up to ``retries``
+    times (no recompile, so retries are cheap); after that the function
+    returns ``None`` so the caller reports a null with a reason instead of
+    garbage.
     """
     f1, f2 = make_fn(k1), make_fn(k2)
     np.asarray(f1())  # compile + warm
@@ -49,9 +54,13 @@ def slope_ms(make_fn: Callable[[int], Callable], k1: int, k2: int,
 
     r = reps
     for _ in range(retries + 1):
-        t1, t2 = time_best(f1, r), time_best(f2, r)
-        if t2 > t1:
-            return (t2 - t1) / (k2 - k1) * 1e3
+        slopes = []
+        for _ in range(pairs):
+            t1, t2 = time_best(f1, r), time_best(f2, r)
+            if t2 > t1:
+                slopes.append((t2 - t1) / (k2 - k1))
+        if len(slopes) >= (pairs + 1) // 2:
+            return float(np.median(slopes)) * 1e3
         r *= 2
     return None
 

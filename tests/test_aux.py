@@ -278,3 +278,52 @@ def test_image_utils(tmp_path):
     np.testing.assert_allclose(img, img2, atol=1)
     save_image(arr, str(tmp_path / "x.png"))
     assert os.path.exists(tmp_path / "x.png")
+
+
+def test_slope_ms_positive_and_guard(monkeypatch):
+    """slope_ms must return the per-iteration slope for monotone timings and
+    None (never a negative rate) when timings stay non-monotone after
+    retries — the round-3 bench published a negative beam throughput from
+    exactly that failure mode."""
+    from multimodal_scene_text_recognition_tpu.utils import timing
+
+    # deterministic clock: each f() "runs" k * 10ms + 5ms fixed dispatch
+    class Clock:
+        def __init__(self, ms_per_iter, fixed_ms=5.0):
+            self.t = 0.0
+            self.pending = None
+            self.ms_per_iter = ms_per_iter
+            self.fixed_ms = fixed_ms
+
+        def perf_counter(self):
+            return self.t
+
+    clock = Clock(10.0)
+    monkeypatch.setattr(timing.time, "perf_counter",
+                        lambda: clock.perf_counter())
+
+    def make_fn(k):
+        def f():
+            clock.t += (clock.fixed_ms + k * clock.ms_per_iter) / 1e3
+            return np.zeros(())
+
+        return f
+
+    ms = timing.slope_ms(make_fn, 2, 6, reps=2)
+    assert ms is not None
+    np.testing.assert_allclose(ms, 10.0, rtol=1e-9)
+
+    # adversarial clock: k=6 always reads *faster* than k=2 (tunnel jitter
+    # dwarfing the body) — must return None, not a negative slope
+    clock2 = Clock(10.0)
+    monkeypatch.setattr(timing.time, "perf_counter",
+                        lambda: clock2.perf_counter())
+
+    def make_fn_bad(k):
+        def f():
+            clock2.t += (30.0 - 2.0 * k) / 1e3  # decreasing in k
+            return np.zeros(())
+
+        return f
+
+    assert timing.slope_ms(make_fn_bad, 2, 6, reps=1, retries=2) is None
