@@ -129,6 +129,13 @@ class ModelConfig:
     # rematerialise the conv backbone in backward (trade FLOPs for HBM) —
     # lets batch scale well beyond the reference's 192
     remat: bool = False
+    # train-mode BatchNorm with the fused Pallas backward reduction
+    # (ops/batchnorm.py) — identical values, removes the VPU-bound
+    # convert_reduce fusions the round-4 profiler trace attributed ~21 ms
+    # of the 67.6 ms train step to.  The Pallas kernel engages only on a
+    # single-device TPU backend (under a >1-device mesh the custom call
+    # can't be SPMD-partitioned, so mesh paths construct with False).
+    fused_bn: bool = True
 
     @property
     def num_classes(self) -> int:

@@ -315,3 +315,49 @@ def relevance_fusion(
     if return_scores:
         return fused, scores[..., 0]
     return fused
+
+
+class FusedBatchNorm(nn.Module):
+    """Drop-in for ``nn.BatchNorm(momentum=0.9, epsilon=1e-5)`` whose train
+    mode routes through :func:`ops.batchnorm.bn_train` — identical forward
+    values, but the backward's (dgamma, dbeta) reductions run in one fused
+    Pallas pass (see docs/RESULTS.md round 4: XLA's autodiff emits
+    ``convert_reduce`` fusions ~10x off memory-bound speed that account for
+    ~21 ms of the 67.6 ms train step).
+
+    The variable tree ('scale'/'bias' params, 'mean'/'var' batch_stats)
+    matches nn.BatchNorm exactly, so checkpoints and the `.pth` importer are
+    unaffected.  Eval mode is the same arithmetic flax runs.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.batchnorm import bn_train
+
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        out_dtype = self.dtype or x.dtype
+
+        if self.use_running_average:
+            y = (x.astype(jnp.float32) - ra_mean.value) * (
+                jax.lax.rsqrt(ra_var.value + self.epsilon) * scale) + bias
+            return y.astype(out_dtype)
+
+        y, mean, var = bn_train(
+            x.astype(out_dtype), scale, bias, self.epsilon)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return y

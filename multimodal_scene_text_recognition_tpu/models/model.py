@@ -44,7 +44,7 @@ class SceneTextModel(nn.Module):
         if cfg.use_tps:
             self.transformation = TPSTransform(
                 cfg.num_fiducial, cfg.img_h, cfg.img_w, dtype=dtype,
-                name="transformation"
+                fused_bn=cfg.fused_bn, name="transformation"
             )
         else:
             self.transformation = lambda image, train=False: image
@@ -53,7 +53,8 @@ class SceneTextModel(nn.Module):
             nn.remat(ResNet31, static_argnums=(2,)) if cfg.remat else ResNet31
         )
         self.feature_extractor = backbone_cls(
-            output_channels=cfg.hidden_dim, dtype=dtype, name="feature_extractor"
+            output_channels=cfg.hidden_dim, dtype=dtype,
+            fused_bn=cfg.fused_bn, name="feature_extractor"
         )
         self.semantic = build_semantic_embedder(cfg)
 

@@ -18,6 +18,16 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import FusedBatchNorm
+
+
+def _make_bn(train: bool, dtype, fused: bool, name: str):
+    """nn.BatchNorm, or the identical-forward FusedBatchNorm whose backward
+    reductions run as one Pallas pass (ops/batchnorm.py)."""
+    cls = FusedBatchNorm if fused else nn.BatchNorm
+    return cls(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+               dtype=dtype, name=name)
+
 
 class BasicBlock(nn.Module):
     """3x3-3x3 residual block with optional 1x1 projection
@@ -25,14 +35,12 @@ class BasicBlock(nn.Module):
 
     planes: int
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=name,
-            )
+            return _make_bn(train, self.dtype, self.fused_bn, name)
 
         residual = x
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
@@ -55,6 +63,7 @@ class ResNet31(nn.Module):
     output_channels: int = 512
     layers: Sequence[int] = (1, 2, 5, 3)
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,10 +71,7 @@ class ResNet31(nn.Module):
         stage_ch = (oc // 4, oc // 2, oc, oc)
 
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=name,
-            )
+            return _make_bn(train, self.dtype, self.fused_bn, name)
 
         def conv_bn_relu(h, ch, name, kernel=(3, 3), strides=(1, 1), padding=1):
             h = nn.Conv(ch, kernel, strides=strides, padding=padding,
@@ -81,24 +87,24 @@ class ResNet31(nn.Module):
         # stage 1 (reference:66-70)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(self.layers[0]):
-            x = BasicBlock(stage_ch[0], dtype=self.dtype, name=f"block1_{i}")(x, train)
+            x = BasicBlock(stage_ch[0], dtype=self.dtype, fused_bn=self.fused_bn, name=f"block1_{i}")(x, train)
         x = conv_bn_relu(x, stage_ch[0], "trans1")
 
         # stage 2 (reference:72-76)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(self.layers[1]):
-            x = BasicBlock(stage_ch[1], dtype=self.dtype, name=f"block2_{i}")(x, train)
+            x = BasicBlock(stage_ch[1], dtype=self.dtype, fused_bn=self.fused_bn, name=f"block2_{i}")(x, train)
         x = conv_bn_relu(x, stage_ch[1], "trans2")
 
         # stage 3 (reference:78-82): height-only pool, width padded +2
         x = nn.max_pool(x, (2, 2), strides=(2, 1), padding=((0, 0), (1, 1)))
         for i in range(self.layers[2]):
-            x = BasicBlock(stage_ch[2], dtype=self.dtype, name=f"block3_{i}")(x, train)
+            x = BasicBlock(stage_ch[2], dtype=self.dtype, fused_bn=self.fused_bn, name=f"block3_{i}")(x, train)
         x = conv_bn_relu(x, stage_ch[2], "trans3")
 
         # stage 4 (reference:84-90): blocks then two 2x2 convs collapsing H
         for i in range(self.layers[3]):
-            x = BasicBlock(stage_ch[3], dtype=self.dtype, name=f"block4_{i}")(x, train)
+            x = BasicBlock(stage_ch[3], dtype=self.dtype, fused_bn=self.fused_bn, name=f"block4_{i}")(x, train)
         x = conv_bn_relu(x, stage_ch[3], "trans4a", kernel=(2, 2),
                          strides=(2, 1), padding=((0, 0), (1, 1)))
         x = conv_bn_relu(x, stage_ch[3], "trans4b", kernel=(2, 2),

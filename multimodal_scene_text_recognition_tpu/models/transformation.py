@@ -32,17 +32,17 @@ class LocalizationNetwork(nn.Module):
 
     num_fiducial: int = 20
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .resnet import _make_bn
+
         x = x.astype(self.dtype)
         for ch in (64, 128, 256, 512):
             x = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"conv{ch}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn{ch}",
-            )(x)
+            x = _make_bn(train, self.dtype, self.fused_bn, f"bn{ch}")(x)
             x = nn.relu(x)
             if ch != 512:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -67,6 +67,7 @@ class TPSTransform(nn.Module):
     out_h: int = 32
     out_w: int = 100
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -74,7 +75,8 @@ class TPSTransform(nn.Module):
         import jax
 
         c_prime = LocalizationNetwork(
-            self.num_fiducial, dtype=self.dtype, name="loc_net"
+            self.num_fiducial, dtype=self.dtype, fused_bn=self.fused_bn,
+            name="loc_net"
         )(img, train=train)
         grid = tps.build_sampling_grid(c_prime, self.out_h, self.out_w)
         if self.dtype == jnp.float32:

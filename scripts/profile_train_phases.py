@@ -164,10 +164,18 @@ def main():
             def loop(params, consts):
                 bstats, batch = consts
 
-                def body(i, acc):
-                    return acc + fwd_only(params, bstats, batch)
+                def body(i, carry):
+                    acc, img = carry
+                    b = dict(batch, image=img)
+                    l = fwd_only(params, bstats, b)
+                    # loss feeds back into the image: a sequential data
+                    # dependence so XLA cannot hoist the (otherwise
+                    # loop-invariant) forward pass out of the fori_loop
+                    return acc + l, img + 1e-30 * l.astype(img.dtype)
 
-                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+                acc, img = jax.lax.fori_loop(
+                    0, k, body, (jnp.float32(0), batch["image"]))
+                return acc + jnp.sum(img)
 
             return lambda: loop(params, (bstats, batch))
 
