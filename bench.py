@@ -8,18 +8,27 @@ completed stage, so a timeout can never zero the round (round-3
 postmortem: rc=124 with `parsed: null` lost every number that had already
 been measured).  The last line on stdout is always the most complete one.
 
-Robustness contract (VERDICT round 3 #1-3):
-  * global wall-clock budget (env BENCH_BUDGET_S, default 1100 s) enforced
-    by a watchdog thread that emits the final JSON and exits rc=0;
-  * every stage is budget-gated (skipped with a reason when there is not
-    enough time left) and exception-isolated;
-  * per-dispatch host latency (pytree flatten + axon tunnel round trip) is
-    probed up front; per-call latency sections are flagged host-bound when
-    it exceeds 100 ms and accuracy sweeps shrink when it exceeds 500 ms;
-  * all throughputs are slope-timed over varied device-resident batches
-    (utils/timing.py) and slope_ms can no longer return <= 0 — a
-    non-monotone measurement is retried and then reported null with a
-    reason, never published as a negative rate.
+Self-diagnosis contract (VERDICT round 4 #1):
+  * the run opens with a ``device_health`` stage — a known-FLOPs bf16
+    matmul chain, slope-timed — publishing ``device_tfs`` and
+    ``device_health_pct`` (vs the 197 TF/s v5e bf16 datasheet peak) so a
+    degraded shared device is *labeled in the artifact* instead of
+    masquerading as a code regression (round 4's 2,583 crops/s headline
+    was unexplainable for exactly this reason);
+  * measurement costs ADAPT to that number: on a degraded device or
+    tunnel, slope pairs drop 5→3, trip counts (6,16)→(4,10) and the
+    per-call latency loops shrink, so the stage plan still completes;
+  * stages are ordered so the cheap, high-value fields always land:
+    the CPU denominator (cached in the committed BASELINE_LOCAL.json) is
+    read FIRST, and train / p50_b{1,8,32} / int8 run before the long
+    accuracy sweep.  Target: no null field, ever.
+
+Robustness contract (VERDICT round 3 #1-3): global wall-clock budget
+(env BENCH_BUDGET_S) enforced by a watchdog that emits the final JSON and
+exits rc=0; every stage budget-gated + exception-isolated; throughputs
+slope-timed over varied device-resident batches (utils/timing.py) and a
+non-monotone slope is retried then reported null with a reason, never
+published as a negative rate.
 
 Headline metric (BASELINE.json): greedy-decode throughput (word crops/sec/
 chip) at batch 192 on the full TPS + ResNet-31 + 6L TF encoder + 6L TF
@@ -62,22 +71,22 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 # decodes — minutes each uncached; ADVICE r3 #1).  Bump when the CPU
 # measurement methodology changes so a stale cached denominator re-measures.
 CPU_METHODOLOGY = "percall-avg"
-# Persistent XLA/Mosaic compilation cache (results/xla_cache, gitignored).
-# Every program that takes >=1 s to compile is cached on disk, so repeat
-# bench runs skip recompiles entirely — most importantly the fused
-# whole-beam Pallas kernel, whose Mosaic compile is ~13 min at flagship
-# scale.  Once a warm run has paid that compile (marker written with the
-# jax/jaxlib/device/kernel-hash/config fingerprint), the fused-beam bench
-# auto-enables; without a matching marker it stays opt-in via
-# BENCH_FUSED_BEAM=1.
-XLA_CACHE_DIR = os.path.join(REPO, "results", "xla_cache")
+# Persistent XLA/Mosaic compilation cache.  VERDICT r4 #2: the cache lived
+# in gitignored results/ and therefore NEVER survived to a driver session
+# (two rounds of null fused-beam numbers).  It now lives in the TRACKED
+# assets/xla_cache/ — the warm entries (including the ~13-min-compile
+# fused whole-beam Mosaic programs and every jit_loop slope program) are
+# committed to git, so a bare driver clone starts warm.
+XLA_CACHE_DIR = os.path.join(REPO, "assets", "xla_cache")
 FUSED_BEAM_MARKER = os.path.join(XLA_CACHE_DIR, "FUSED_BEAM_WARM.json")
+# bf16 peak of one TPU v5e (v5 lite) chip — the datasheet number the
+# device_health stage reports against.
+V5E_PEAK_TFS = 197.0
 
 T0 = time.time()
-# 25 min: a warm-cache run needs ~14-19 min (stage timings ride in the
-# JSON); backend-init variance alone spans 1-6 min.  Even if a driver-side
-# timeout is tighter, the incremental emission below means every completed
-# stage is already on stdout.
+# 25 min ceiling; a warm-cache run (committed assets/xla_cache) needs far
+# less.  Even if a driver-side timeout is tighter, incremental emission
+# means every completed stage is already on stdout.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 RESULT = {
@@ -90,6 +99,17 @@ RESULT = {
     "extra": {"stages": [], "skipped": [], "failed": []},
 }
 _EMIT_LOCK = threading.Lock()
+
+# Measurement-cost knobs, tightened by ``apply_degradation`` when the
+# device-health / dispatch probes say the session is degraded (VERDICT r4
+# #1b): fewer slope pairs, lower trip counts, shorter latency loops.
+TUNE = {
+    "pairs": 5,          # slope pair count (utils/timing.py)
+    "trips": (6, 16),    # roundrobin slope trip counts
+    "train_trips": (2, 6),
+    "lat_iters": 10,     # per-call latency loop length
+    "degraded": False,
+}
 
 
 def elapsed() -> float:
@@ -156,6 +176,20 @@ def enable_compilation_cache():
     os.makedirs(XLA_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", XLA_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def apply_degradation(reason: str):
+    """Cut measurement costs so the stage plan completes on a degraded
+    session (the numbers stay honest — slope pairs/trips shrink, the
+    median-of-pairs methodology is unchanged)."""
+    if TUNE["degraded"]:
+        return
+    TUNE.update(pairs=3, trips=(4, 10), train_trips=(2, 5), lat_iters=4,
+                degraded=True)
+    RESULT["extra"]["degraded"] = True
+    RESULT["extra"]["degraded_reason"] = reason
+    log(f"DEGRADED session ({reason}) — slope pairs 5->3, trips (6,16)->"
+        "(4,10), latency loops shrunk")
 
 
 def _fused_beam_cfg(cfg: ModelConfig) -> ModelConfig:
@@ -249,6 +283,43 @@ def measure_dispatch_ms(n: int = 12) -> float:
     return float(np.median(ts)) * 1e3
 
 
+def measure_device_health() -> dict:
+    """Achieved bf16 matmul TF/s on a fixed known-FLOPs chain (VERDICT r4
+    #1a).  8192^3 bf16 matmuls (1.1 TFLOP each) in a fori_loop with a
+    data dependence between iterations (``a += out * 1e-9`` defeats LICM);
+    slope-timed so tunnel dispatch cancels.  On a healthy v5e this lands
+    near the 197 TF/s datasheet peak; a shared/contended device shows up
+    directly as a low ``device_health_pct`` — which is the label that
+    separates "repo regressed" from "device degraded" in the artifact.
+    """
+    n = 8192
+    flops_per_iter = 2 * n ** 3
+    key = jax.random.PRNGKey(0)
+    a0 = jax.random.normal(key, (n, n), jnp.bfloat16)
+    b0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    def make_fn(k):
+        @jax.jit
+        def loop(a, b):
+            def body(_, a):
+                out = jnp.dot(a, b, preferred_element_type=jnp.bfloat16)
+                # loop-carried dependence; *1e-9 is below bf16 epsilon for
+                # O(100)-magnitude outputs so the chain stays finite
+                return a + out * jnp.bfloat16(1e-9)
+
+            return jnp.sum(jax.lax.fori_loop(0, k, body, a).astype(
+                jnp.float32))
+
+        return lambda: loop(a0, b0)
+
+    ms = slope_ms(make_fn, 8, 24, pairs=3)
+    if ms is None:
+        return {"device_tfs": None, "device_health_pct": None}
+    tfs = flops_per_iter / (ms * 1e-3) / 1e12
+    return {"device_tfs": round(tfs, 1),
+            "device_health_pct": round(100.0 * tfs / V5E_PEAK_TFS, 1)}
+
+
 def _stacked_noise(batch, nK=8, seed=1):
     rng = np.random.default_rng(seed)
     return jax.device_put({
@@ -274,7 +345,32 @@ def make_decode(model):
     return decode
 
 
-def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
+def make_packed_decode(model, variables):
+    """Greedy decode whose params ride as one buffer per dtype instead of
+    a ~500-leaf pytree (utils/packing.py).  Per-call dispatch cost over
+    the tunnel is per argument buffer (~10-15 ms each), so the raw-pytree
+    per-call latency is ~6-8 s regardless of batch size — round 4's
+    unexplained "p50 7,312 ms vs 74 ms marginal" (VERDICT r4 #5).  The
+    packed form is what a latency-sensitive serving process uses
+    (eval/serve.Recognizer packs by default), so p50 metrics are measured
+    through it; the raw form is kept as a labeled comparison field."""
+    from multimodal_scene_text_recognition_tpu.utils.packing import (
+        PackedTree,
+    )
+
+    pt = PackedTree(variables)
+    packed = pt.pack(variables)
+
+    @jax.jit
+    def decode(pk, image, overlap, scene, ious):
+        logits = model.apply(pt.unpack(pk), image, None, overlap, scene,
+                             ious, train=False)
+        return jnp.argmax(logits, axis=-1)
+
+    return decode, packed
+
+
+def bench_decode(model, variables, batch, dispatch_ms, lat_iters=None,
                  use_slope=True):
     """Headline decode: slope-timed throughput + per-call latency.
 
@@ -282,9 +378,18 @@ def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
     device-resident stack; marginal ms/batch is the slope between two trip
     counts — per-dispatch host cost cancels exactly and varied inputs
     defeat identical-enqueue dedup.  Latency: per-call with the result
-    materialised on host (the serving-relevant number), flagged host-bound
-    when the dispatch probe says the tunnel dominates.
+    materialised on host (the serving-relevant number).
+
+    p50-anomaly diagnosis (VERDICT r4 #5): round 4 published p50=7,312 ms
+    against a 74 ms marginal batch time with no explanation.  The latency
+    loop now (a) re-probes dispatch immediately before timing (the tunnel
+    can degrade mid-run), (b) drains the device queue first, and (c) when
+    p50 > 10x the slope's marginal time, re-times after a settle and
+    publishes both, plus the ``p50_over_marginal`` ratio — so a queueing/
+    contention artifact is labeled rather than mysterious.
     """
+    if lat_iters is None:
+        lat_iters = TUNE["lat_iters"]
     decode = make_decode(model)
     args = (variables, batch["image"], batch["overlap"], batch["scene"],
             batch["ious"])
@@ -292,31 +397,48 @@ def bench_decode(model, variables, batch, dispatch_ms, lat_iters=10,
     np.asarray(decode(*args))  # warm/compile
 
     out = {}
-    percall = []
-    for _ in range(max(lat_iters, 3)):
-        t0 = time.perf_counter()
-        np.asarray(decode(*args))
-        percall.append(time.perf_counter() - t0)
-    percall = np.asarray(percall)
+
+    def time_percall(iters):
+        ts = []
+        for _ in range(max(iters, 3)):
+            t0 = time.perf_counter()
+            np.asarray(decode(*args))
+            ts.append(time.perf_counter() - t0)
+        return np.asarray(ts)
+
+    # (a) dispatch re-probe + (b) queue drain before the latency loop
+    dispatch_now = measure_dispatch_ms(n=3)
+    out["dispatch_at_decode_ms"] = round(dispatch_now, 2)
+    percall = time_percall(lat_iters)
     out["p50_latency_ms"] = float(np.median(percall)) * 1e3
     out["p90_latency_ms"] = float(np.percentile(percall, 90)) * 1e3
-    # flagged below against the slope too: the tunnel can degrade between
-    # the startup probe and this stage (r03's failure session reached ~7 s
-    # per dispatch mid-run)
-    out["latency_host_bound"] = dispatch_ms > 100.0
+    out["latency_host_bound"] = max(dispatch_ms, dispatch_now) > 100.0
 
     if use_slope:
         nK = 8
         stacked = _stacked_noise(batch)
+        k1, k2 = TUNE["trips"]
         ms = slope_ms(roundrobin(
             lambda b, v: decode(v, b["image"], b["overlap"], b["scene"],
                                 b["ious"]),
-            stacked, nK, consts=(variables,)), 6, 16)
+            stacked, nK, consts=(variables,)), k1, k2, pairs=TUNE["pairs"])
         if ms is not None:
             out["crops_per_sec"] = batch_size / (ms / 1e3)
             out["throughput_methodology"] = "slope"
+            out["p50_over_marginal"] = round(out["p50_latency_ms"] / ms, 2)
             if out["p50_latency_ms"] - ms > 100.0:
                 out["latency_host_bound"] = True
+            # (c) anomalous per-call latency vs marginal time: settle the
+            # queue and re-time; publish both so the artifact explains
+            # itself (a persistent gap = device contention, not the repo)
+            if out["p50_latency_ms"] > 10 * ms and dispatch_now < 100.0:
+                time.sleep(1.0)
+                redo = time_percall(3)
+                out["p50_latency_retry_ms"] = float(np.median(redo)) * 1e3
+                log(f"p50 anomaly: {out['p50_latency_ms']:.0f} ms vs "
+                    f"{ms:.0f} ms marginal (dispatch {dispatch_now:.0f} ms);"
+                    f" retry p50 {out['p50_latency_retry_ms']:.0f} ms — "
+                    "device queue/contention, not host dispatch")
         else:
             # slope irrecoverably non-monotone: fall back to per-call mean,
             # clearly labelled (never publish garbage, never publish <= 0)
@@ -355,7 +477,8 @@ def bench_train(model, batch, rng_seed=0, state=None):
 
         return lambda: loop(state, batch, rng)
 
-    ms = slope_ms(make_fn, 2, 6)
+    k1, k2 = TUNE["train_trips"]
+    ms = slope_ms(make_fn, k1, k2, pairs=TUNE["pairs"])
     if ms is None:
         return None
     return {"crops_per_sec": batch_size / (ms / 1e3), "step_ms": ms}
@@ -366,7 +489,7 @@ def bench_int8(model, variables, batch, calib_batch=None):
 
     ``calib_batch``: real crops for activation calibration; falls back to
     the bench batch itself (random noise — throughput-only; honest accuracy
-    numbers come from :func:`bench_trained`)."""
+    numbers come from :func:`trained_accuracy`)."""
     from multimodal_scene_text_recognition_tpu.models.resnet_int8 import (
         make_int8_eval_step,
     )
@@ -378,8 +501,10 @@ def bench_int8(model, variables, batch, calib_batch=None):
     np.asarray(step(variables, qsites, batch))
     nK = 8
     stacked = _stacked_noise(batch, seed=2)
+    k1, k2 = TUNE["trips"]
     ms = slope_ms(roundrobin(lambda b, v, q: step(v, q, b), stacked, nK,
-                             consts=(variables, qsites)), 6, 16)
+                             consts=(variables, qsites)), k1, k2,
+                  pairs=TUNE["pairs"])
     return bsz / (ms / 1e3) if ms is not None else None
 
 
@@ -496,9 +621,11 @@ def trained_pipelined(cfg: ModelConfig, tr) -> dict:
     np.asarray(step(variables, qsites, tr["batch0"]))
 
     out = {}
+    k1, k2 = TUNE["trips"]
     ms = slope_ms(roundrobin(lambda b, v, q: step(v, q, b),
                              tr["stacked"], tr["nK"],
-                             consts=(variables, qsites)), 6, 16)
+                             consts=(variables, qsites)), k1, k2,
+                  pairs=TUNE["pairs"])
     if ms is not None:
         out["trained_pipelined_crops_per_sec"] = round(B / ms * 1e3, 1)
         out["trained_batch_ms_marginal"] = round(ms, 2)
@@ -523,9 +650,9 @@ def trained_accuracy(cfg: ModelConfig, tr) -> dict:
     step, qsites, variables = tr["step"], tr["qsites"], tr["variables"]
     val, codec = tr["val"], tr["codec"]
     dispatch_ms = RESULT["extra"].get("dispatch_ms", 0.0) or 0.0
-    max_batches = 4 if dispatch_ms > 500 else None
+    max_batches = 4 if (dispatch_ms > 500 or TUNE["degraded"]) else None
     if max_batches:
-        log(f"dispatch {dispatch_ms:.0f} ms — accuracy sweep shrunk to "
+        log(f"degraded session — accuracy sweep shrunk to "
             f"{max_batches} batches")
 
     def accuracy(decode_fn):
@@ -565,7 +692,7 @@ def trained_accuracy(cfg: ModelConfig, tr) -> dict:
 
 def trained_beam(cfg: ModelConfig, tr) -> dict:
     """Batched beam search k=5 (a BASELINE.json config) on the trained
-    checkpoint — slope-timed at the same (6,16) trip counts as every other
+    checkpoint — slope-timed at the same trip counts as every other
     throughput (round 3 used (2,6) and published a negative rate)."""
     from multimodal_scene_text_recognition_tpu.models.model import (
         SceneTextModel,
@@ -583,8 +710,10 @@ def trained_beam(cfg: ModelConfig, tr) -> dict:
                               method=SceneTextModel.beam_decode)
         return ids
 
+    k1, k2 = TUNE["trips"]
     bms = slope_ms(roundrobin(beam_ids, tr["stacked"], tr["nK"],
-                              consts=(variables,)), 6, 16)
+                              consts=(variables,)), k1, k2,
+                   pairs=TUNE["pairs"])
     if bms is None:
         log("beam k=5: slope non-monotone after retries — null")
         return {"beam5_crops_per_sec": None}
@@ -594,9 +723,11 @@ def trained_beam(cfg: ModelConfig, tr) -> dict:
 
 
 def trained_fused_beam(cfg: ModelConfig, tr) -> dict:
-    """Fused whole-beam Pallas kernel (ops/fused_beam.py).  Only reached
-    when the warm marker matches or BENCH_FUSED_BEAM=1 (budget-gated by the
-    caller — a cold Mosaic compile is ~13 min/program)."""
+    """Fused whole-beam Pallas kernel (ops/fused_beam.py).  Reached when
+    the warm marker matches, when BENCH_FUSED_BEAM=1, or — VERDICT r4 #2c
+    — cold whenever enough budget remains (a healthy session can afford
+    the Mosaic compile; the persistent cache then makes every later run
+    warm)."""
     from multimodal_scene_text_recognition_tpu.models.model import (
         SceneTextModel,
     )
@@ -612,8 +743,13 @@ def trained_fused_beam(cfg: ModelConfig, tr) -> dict:
                                method=SceneTextModel.beam_decode)
         return ids
 
+    # trip counts are FIXED (6,16) here even on a degraded session: the
+    # committed warm cache holds exactly these two Mosaic programs, and a
+    # different trip count would trade a ~2 min warm stage for a ~26 min
+    # cold compile — the opposite of adapting
     bms = slope_ms(roundrobin(fbeam_ids, tr["stacked"], tr["nK"],
-                              consts=(variables,)), 6, 16)
+                              consts=(variables,)), 6, 16,
+                   pairs=TUNE["pairs"])
     if bms is None:
         log("fused beam k=5: slope non-monotone after retries — null")
         return {"beam5_fused_crops_per_sec": None}
@@ -626,7 +762,10 @@ def trained_fused_beam(cfg: ModelConfig, tr) -> dict:
 
 
 def cpu_baseline(cfg: ModelConfig) -> float:
-    """One-time CPU denominator, cached with a methodology tag."""
+    """CPU denominator for ``vs_baseline``.  The cached value rides in the
+    COMMITTED BASELINE_LOCAL.json, so on a driver run this stage is a file
+    read — which is why it runs FIRST (VERDICT r4 #3: the r04 budget died
+    before the cpu stage and the north-star ratio went unwitnessed)."""
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cached = json.load(f)
@@ -766,21 +905,52 @@ def main():
     # the fused whole-decode Pallas kernel (ops/fused_decode.py) is the
     # flagship decode path: ~+7% end-to-end over the XLA scan at B=192
     cfg = ModelConfig(decode_fused=True)
+
+    # --- CPU denominator first: committed cache makes this a file read,
+    # so vs_baseline can never again be lost to an exhausted budget ---
+    cpu_den = stage("cpu_baseline", lambda: cpu_baseline(cfg),
+                    30 if os.path.exists(CACHE) else 420)
+    if cpu_den:
+        extra["cpu_crops_per_sec"] = round(cpu_den, 2)
+
+    t_wait = time.time()
     if os.environ.get("BENCH_NO_WAIT") != "1":
         _wait_for_backend(deadline_s=max(60.0, min(600.0, remaining() - 300)))
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()} "
-        f"(budget {BUDGET_S:.0f}s)")
+    # backend attach timed separately so it can't masquerade as probe cost
+    # (VERDICT r4 #6: r04's 179 s "dispatch_probe" was mostly backend init)
+    devs = jax.devices()
+    extra["backend_init_s"] = round(time.time() - t_wait, 1)
+    log(f"backend: {jax.default_backend()}, devices: {devs} "
+        f"(attach {extra['backend_init_s']}s, budget {BUDGET_S:.0f}s)")
+
+    if os.environ.get("BENCH_FORCE_DEGRADED") == "1":
+        # testing/cache-warming hook: exercise the degraded-mode program
+        # variants (smaller trip counts) regardless of measured health
+        apply_degradation("forced by BENCH_FORCE_DEGRADED=1")
 
     dispatch_ms = stage("dispatch_probe", measure_dispatch_ms, 30)
     if dispatch_ms is not None:
         extra["dispatch_ms"] = round(dispatch_ms, 2)
-        log(f"per-dispatch host cost: {dispatch_ms:.1f} ms"
-            + (" (DEGRADED tunnel — per-call sections flagged/shrunk)"
-               if dispatch_ms > 100 else ""))
+        log(f"per-dispatch host cost: {dispatch_ms:.1f} ms")
+        if dispatch_ms > 100:
+            apply_degradation(f"dispatch {dispatch_ms:.0f} ms > 100 ms")
     dispatch_ms = dispatch_ms or 0.0
 
-    # restore the trained checkpoint FIRST: its params serve every stage
-    # (the decode programs are shape-bound, so the headline number doesn't
+    def run_health():
+        h = measure_device_health()
+        extra.update(h)
+        if h["device_health_pct"] is not None:
+            log(f"device health: {h['device_tfs']} TF/s bf16 = "
+                f"{h['device_health_pct']}% of v5e peak ({V5E_PEAK_TFS} TF/s)")
+            if h["device_health_pct"] < 50:
+                apply_degradation(
+                    f"device at {h['device_health_pct']}% of peak")
+        return h
+
+    stage("device_health", run_health, 45)
+
+    # restore the trained checkpoint: its params serve every stage (the
+    # decode programs are shape-bound, so the headline number doesn't
     # depend on the weights), which skips a separate ~3 min flagship init.
     # Random-init fallback when no checkpoint is in the tree.
     tr = stage("trained_restore",
@@ -806,49 +976,48 @@ def main():
         dec = _retry(lambda: bench_decode(model, variables, batch,
                                           dispatch_ms), label="decode")
         RESULT["value"] = round(dec["crops_per_sec"], 1)
-        extra["p50_latency_ms"] = round(dec["p50_latency_ms"], 2)
-        extra["p90_latency_ms"] = round(dec["p90_latency_ms"], 2)
+        if cpu_den:
+            RESULT["vs_baseline"] = round(dec["crops_per_sec"] / cpu_den, 2)
+        # raw-pytree per-call latency: a dispatch artifact (one tunnel RPC
+        # per param leaf) — published under an explicit name; the packed
+        # serving p50 below is the headline latency
+        extra["p50_unpacked_ms"] = round(dec["p50_latency_ms"], 2)
+        for k in ("dispatch_at_decode_ms", "p50_over_marginal",
+                  "p50_latency_retry_ms"):
+            if k in dec:
+                extra[k] = round(dec[k], 2) if isinstance(
+                    dec[k], float) else dec[k]
         extra["latency_host_bound"] = dec["latency_host_bound"]
         extra["throughput_methodology"] = dec["throughput_methodology"]
         log(f"decode: {dec['crops_per_sec']:.1f} crops/s, "
-            f"p50 {dec['p50_latency_ms']:.2f} ms, "
-            f"p90 {dec['p90_latency_ms']:.2f} ms")
+            f"raw-pytree p50 {dec['p50_latency_ms']:.2f} ms")
+
+        # serving-form (packed params) per-call latency at B=192 — the
+        # BASELINE.json p50 metric, measured the way a serving process
+        # actually dispatches (eval/serve.Recognizer packs by default)
+        pdec, packed = make_packed_decode(model, variables)
+        pargs = (packed, batch["image"], batch["overlap"], batch["scene"],
+                 batch["ious"])
+        np.asarray(pdec(*pargs))  # compile/warm
+        ts = []
+        for _ in range(max(TUNE["lat_iters"], 3)):
+            t0 = time.perf_counter()
+            np.asarray(pdec(*pargs))
+            ts.append(time.perf_counter() - t0)
+        extra["p50_latency_ms"] = round(float(np.median(ts)) * 1e3, 2)
+        extra["p90_latency_ms"] = round(
+            float(np.percentile(ts, 90)) * 1e3, 2)
+        extra["latency_methodology"] = "packed-args"
+        log(f"decode p50 (packed serving form): "
+            f"{extra['p50_latency_ms']:.2f} ms, "
+            f"p90 {extra['p90_latency_ms']:.2f} ms")
         return dec
 
-    stage("decode", run_decode, 120)
+    stage("decode", run_decode, 150)
 
-    # trained-model serving (fused + early-stop + int8 backbone, real
-    # calibration) + beam — driver-captured evidence.  Perf numbers run
-    # before the accuracy sweep: under a tight budget the throughput
-    # evidence matters most.
-    if tr is not None:
-        def run_tserve():
-            extra.update(trained_pipelined(cfg, tr))
-            return True
-
-        stage("trained_pipelined", run_tserve, 150)
-
-        def run_beam():
-            extra.update(trained_beam(cfg, tr))
-            return True
-
-        stage("beam5", run_beam, 170)
-
-        fb = fused_beam_state(cfg)
-        if fb in ("forced", "warm"):
-            def run_fused_beam():
-                extra.update(trained_fused_beam(cfg, tr))
-                return True
-
-            # a warm persistent cache makes this ~2 min; a cold one is
-            # ~2x13 min of Mosaic compile — budget accordingly
-            stage("fused_beam5", run_fused_beam,
-                  250 if fb == "warm" else 1900)
-        else:
-            log(f"fused beam: not run (state={fb}; warm the cache with "
-                "BENCH_FUSED_BEAM=1 or fix the marker)")
-            extra["beam5_fused_crops_per_sec"] = None
-
+    # train BEFORE the serving stages (VERDICT r4 #3: r01/r02 had the
+    # train number, r04 lost it to the budget; it also witnesses the
+    # fused_bn default on real hardware)
     def run_train():
         t = _retry(lambda: bench_train(
             model, batch, state=tr["state"] if tr else None), label="train")
@@ -862,6 +1031,61 @@ def main():
         return t
 
     stage("train", run_train, 150)
+
+    if tr is not None:
+        def run_tserve():
+            extra.update(trained_pipelined(cfg, tr))
+            return True
+
+        stage("trained_pipelined", run_tserve, 120)
+
+    # small-batch serving latency (p50 is a BASELINE.json metric) —
+    # packed-params dispatch, the form a serving process uses
+    def run_serving():
+        pdec, packed = make_packed_decode(model, variables)
+        for b in (1, 8, 32):
+            sb = example_batch(cfg, batch=b)
+            pargs = (packed, sb["image"], sb["overlap"], sb["scene"],
+                     sb["ious"])
+            np.asarray(pdec(*pargs))  # compile/warm
+            ts = []
+            for _ in range(max(TUNE["lat_iters"], 3)):
+                t0 = time.perf_counter()
+                np.asarray(pdec(*pargs))
+                ts.append(time.perf_counter() - t0)
+            extra[f"p50_b{b}_ms"] = round(float(np.median(ts)) * 1e3, 2)
+            log(f"serving B={b}: p50 {extra[f'p50_b{b}_ms']:.2f} ms "
+                "(packed)")
+        return True
+
+    stage("serving_p50", run_serving, 120)
+
+    if tr is not None:
+        def run_beam():
+            extra.update(trained_beam(cfg, tr))
+            return True
+
+        stage("beam5", run_beam, 150)
+
+        fb = fused_beam_state(cfg)
+        if fb == "cold" and remaining() > 1900:
+            # enough budget to pay the Mosaic compile once — do it; the
+            # persistent cache makes every later run warm (VERDICT r4 #2c)
+            log("fused beam: cold but budget allows — compiling now")
+            fb = "forced"
+        if fb in ("forced", "warm"):
+            def run_fused_beam():
+                extra.update(trained_fused_beam(cfg, tr))
+                return True
+
+            # a warm persistent cache makes this ~2 min; a cold one is
+            # ~2x13 min of Mosaic compile — budget accordingly
+            stage("fused_beam5", run_fused_beam,
+                  250 if fb == "warm" else 1900)
+        else:
+            log(f"fused beam: not run (state={fb}; warm the cache with "
+                "BENCH_FUSED_BEAM=1 or fix the marker)")
+            extra["beam5_fused_crops_per_sec"] = None
 
     # int8 PTQ backbone serving mode (models/resnet_int8.py): activation
     # scales calibrated on real rendered crops when available (the bench
@@ -887,18 +1111,6 @@ def main():
 
     stage("int8", run_int8, 120)
 
-    # small-batch serving latency (p50 is a BASELINE.json metric)
-    def run_serving():
-        for b in (1, 8, 32):
-            sb = example_batch(cfg, batch=b)
-            res = bench_decode(model, variables, sb, dispatch_ms,
-                               lat_iters=10, use_slope=False)
-            extra[f"p50_b{b}_ms"] = round(res["p50_latency_ms"], 2)
-            log(f"serving B={b}: p50 {res['p50_latency_ms']:.2f} ms")
-        return True
-
-    stage("serving_p50", run_serving, 120)
-
     if tr is not None:
         def run_acc():
             extra.update(trained_accuracy(cfg, tr))
@@ -906,15 +1118,19 @@ def main():
 
         stage("trained_accuracy", run_acc, 180)
 
-    def run_cpu():
-        cpu = cpu_baseline(cfg)
-        if cpu and RESULT["value"]:
-            RESULT["vs_baseline"] = round(RESULT["value"] / cpu, 2)
-        return cpu
+    # bracket the run: a second health sample catches contention that
+    # arrived mid-run (this session's stages can straddle a co-tenant's
+    # burst; one sample at startup can't see that)
+    def run_health_end():
+        h = measure_device_health()
+        extra["device_tfs_end"] = h["device_tfs"]
+        extra["device_health_pct_end"] = h["device_health_pct"]
+        if h["device_health_pct"] is not None:
+            log(f"device health (end): {h['device_tfs']} TF/s = "
+                f"{h['device_health_pct']}% of peak")
+        return h
 
-    # cached: instant; uncached: a few minutes of CPU decode
-    stage("cpu_baseline",
-          run_cpu, 30 if os.path.exists(CACHE) else 420)
+    stage("device_health_end", run_health_end, 40)
 
     emit()
 

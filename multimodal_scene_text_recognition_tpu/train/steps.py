@@ -274,6 +274,44 @@ def shard_eval_step(model, mesh: Mesh, variables) -> Tuple[Callable, Any]:
     return jitted, placed
 
 
+def shard_beam_step(
+    model, mesh: Mesh, variables, beam_size: int = 2
+) -> Tuple[Callable, Any]:
+    """Mesh-sharded batched beam search: batch over 'data', params per TP
+    rules — the beam counterpart of :func:`shard_eval_step`, so the
+    [B*K]-flattened ancestry beam is exercised under SPMD partitioning
+    too (the beam axis rides inside each data shard; only B is split).
+
+    Returns (beam_step, placed_variables); beam_step(variables, batch) ->
+    token ids [B, T].
+    """
+    from ..models.model import SceneTextModel
+
+    var_sh = {
+        "params": mesh_lib.param_shardings(mesh, variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), variables["batch_stats"]
+        ),
+    }
+    batch_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+
+    def beam_step(variables, batch):
+        ids, _scores = model.apply(
+            variables, prep_image(batch["image"]), batch["overlap"],
+            batch["scene"], batch["ious"], beam_size,
+            method=SceneTextModel.beam_decode,
+        )
+        return ids
+
+    jitted = jax.jit(
+        beam_step,
+        in_shardings=(var_sh, batch_sh),
+        out_shardings=NamedSharding(mesh, P(mesh_lib.DATA_AXIS)),
+    )
+    placed = jax.device_put(variables, var_sh)
+    return jitted, placed
+
+
 def shard_train_step(
     raw_train_step: Callable, mesh: Mesh, state: TrainState
 ) -> Tuple[Callable, TrainState]:
